@@ -1,0 +1,137 @@
+"""Thin-lens camera as a differentiable pytree + pure ray generator.
+
+Replaces the stateful `Camera` class (Camera.h:12-196): the user-facing
+parameters live in `Camera`, the derived viewport frame is a pure function
+(`derive`, mirroring updateViewMatrix Camera.h:86-103), and ray generation is
+a pure map from (frame, pixel jitter, lens sample, shutter sample) to rays
+(getRay, Camera.h:151-168). The interactive walk/yaw/orbit controls live in
+the progressive-render driver (apps/interactive), not here — the dirty-flag
+protocol becomes "new params => new accumulation".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracingthenextweekcuda_tpu.config import DTYPE
+from raytracingthenextweekcuda_tpu.ops import linalg, sampling
+from raytracingthenextweekcuda_tpu.ops.rays import Rays
+
+
+class Camera(NamedTuple):
+    """User parameters (Camera.h:19-34 initialize signature)."""
+
+    eye: jnp.ndarray          # (3,)
+    center: jnp.ndarray       # (3,) look-at point
+    up: jnp.ndarray           # (3,)
+    fov: jnp.ndarray          # () degrees, vertical
+    aperture: jnp.ndarray     # ()
+    focus_distance: jnp.ndarray  # ()
+    time0: jnp.ndarray        # () shutter open
+    time1: jnp.ndarray        # () shutter close
+
+    @staticmethod
+    def make(eye, center, up=(0.0, 1.0, 0.0), fov=90.0, aperture=2.0,
+             focus_distance=1.0, time0=0.0, time1=0.0) -> "Camera":
+        as_a = lambda x: jnp.asarray(x, DTYPE)
+        return Camera(
+            eye=as_a(eye), center=as_a(center), up=as_a(up), fov=as_a(fov),
+            aperture=as_a(aperture), focus_distance=as_a(focus_distance),
+            time0=as_a(time0), time1=as_a(time1),
+        )
+
+    @staticmethod
+    def from_yaml_block(block: dict) -> "Camera":
+        """Reference YAML camera block: eye/center/up/aperture/fov with
+        focusDistance = |center - eye| (main.cu:632-638) and shutter [0, 1].
+        """
+        import numpy as np
+
+        eye = np.asarray(block["eye"], np.float32)
+        center = np.asarray(block["center"], np.float32)
+        focus = float(np.linalg.norm(center - eye))
+        return Camera.make(
+            eye=eye,
+            center=center,
+            up=np.asarray(block.get("up", (0.0, 1.0, 0.0)), np.float32),
+            fov=float(block.get("fov", 90.0)),
+            aperture=float(block.get("aperture", 0.0)),
+            focus_distance=focus,
+            time0=0.0,
+            time1=1.0,
+        )
+
+
+class CameraFrame(NamedTuple):
+    """Derived viewport frame (updateViewMatrix outputs, Camera.h:86-103)."""
+
+    origin: jnp.ndarray
+    lower_left: jnp.ndarray
+    horizontal: jnp.ndarray
+    vertical: jnp.ndarray
+    right: jnp.ndarray
+    true_up: jnp.ndarray
+    lens_radius: jnp.ndarray
+    time0: jnp.ndarray
+    time1: jnp.ndarray
+
+
+def derive(camera: Camera, aspect_ratio: float) -> CameraFrame:
+    """Pure re-derivation of the viewport frame; differentiable wrt pose/fov."""
+    scale = jnp.tan(jnp.deg2rad(camera.fov / 2.0))
+    viewport_h = 2.0 * scale
+    viewport_w = viewport_h * aspect_ratio
+    forward = linalg.normalize(camera.center - camera.eye)
+    right = linalg.normalize(linalg.cross(forward, camera.up))
+    true_up = linalg.cross(right, forward)
+    horizontal = viewport_w * right * camera.focus_distance
+    vertical = viewport_h * true_up * camera.focus_distance
+    lower_left = (
+        camera.eye - horizontal / 2.0 - vertical / 2.0
+        + forward * camera.focus_distance
+    )
+    return CameraFrame(
+        origin=camera.eye,
+        lower_left=lower_left,
+        horizontal=horizontal,
+        vertical=vertical,
+        right=right,
+        true_up=true_up,
+        lens_radius=camera.aperture / 2.0,  # Camera.h:112
+        time0=camera.time0,
+        time1=camera.time1,
+    )
+
+
+def generate_rays(frame: CameraFrame, key, width: int, height: int) -> Rays:
+    """One jittered primary ray per pixel, flattened row-major, y=0 at the
+    image bottom (the Canvas PNG writer flips vertically, Canvas.h:141-154).
+
+    Matches renderKernel's sample placement dx=(x+u)/(width-1),
+    dy=(y+v)/(height-1) (main.cu:179-183) and getRay's lens-disk offset +
+    shutter-time draw (Camera.h:151-168). Directions are normalized (the
+    reference normalizes primary-ray directions too, Camera.h:166).
+    """
+    n = width * height
+    k_jitter, k_lens, k_time = jax.random.split(key, 3)
+    xs = jnp.tile(jnp.arange(width, dtype=DTYPE), height)
+    ys = jnp.repeat(jnp.arange(height, dtype=DTYPE), width)
+    jitter = jax.random.uniform(k_jitter, (n, 2), dtype=DTYPE)
+    dx = (xs + jitter[:, 0]) / (width - 1)
+    dy = (ys + jitter[:, 1]) / (height - 1)
+
+    disk = frame.lens_radius * sampling.in_unit_disk(k_lens, (n,))  # (N, 2)
+    offset = disk[:, 0:1] * frame.right + disk[:, 1:2] * frame.true_up
+    origin = frame.origin + offset
+    direction = (
+        frame.lower_left
+        + dx[:, None] * frame.horizontal
+        + dy[:, None] * frame.vertical
+        - origin
+    )
+    direction = linalg.normalize(direction)
+    time = sampling.uniform(k_time, (n,)) * (frame.time1 - frame.time0) + frame.time0
+    return Rays(origin=origin, direction=direction, time=time)

@@ -1,0 +1,157 @@
+"""Branchless, reparameterized BSDF module.
+
+One vectorized scatter covers both of the reference's material systems:
+
+* Path A's virtual `Material::scatter` hierarchy — Lambertian (Material.cu:3-19),
+  Metal with fuzz + below-surface absorption (Material.h:45-51), Dieletric
+  with Schlick + total internal reflection (Material.h:65-98), Emission
+  (Material.h:120-123);
+* Path B's in-kernel `ReflectionType` switch (CUDAPathTracer.cu:455-614) —
+  DIFFUSE (cosine hemisphere), METAL (Phong lobe), SPECULAR (mirror), COAT
+  (5% specular else diffuse). Path B's REFRACTION is the same physics as
+  Dieletric and maps to it.
+
+Instead of virtual dispatch or a serialized switch, every kind's response is
+computed for every ray on the VPU and blended by material-kind masks — seven
+short branchless expressions beat a gather/scatter reorder at this arity.
+All samplers are reparameterized (deterministic transforms of uniforms), and
+discrete choices (reflect-vs-refract, coat layer pick, metal absorption) use
+`stop_gradient` on the Bernoulli while gradients flow through the values of
+the taken branch — the fixed-topology rule that makes pixel gradients match
+finite differences a.e.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracingthenextweekcuda_tpu.ops import linalg, sampling
+from raytracingthenextweekcuda_tpu.ops.geometry import (
+    COAT,
+    DIELECTRIC,
+    EMISSION,
+    LAMBERTIAN,
+    METAL,
+    PHONG_METAL,
+    SPECULAR,
+    Materials,
+)
+from raytracingthenextweekcuda_tpu.ops.rays import Hit, Rays
+
+
+class Scatter(NamedTuple):
+    """Per-ray scatter decision for a wavefront of N rays."""
+
+    direction: jnp.ndarray    # (N, 3) unit — next bounce direction
+    attenuation: jnp.ndarray  # (N, 3) — throughput multiplier when scattered
+    scattered: jnp.ndarray    # (N,) bool — False terminates the path
+    emitted: jnp.ndarray      # (N, 3) — radiance released on termination
+
+
+def schlick(cosine: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndarray:
+    """Schlick reflectance approximation (Material.h:104-109)."""
+    r0 = (1.0 - eta_ratio) / (1.0 + eta_ratio)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
+
+
+def scatter(key, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
+    """Evaluate all material kinds for all rays and blend by `mat.kind`.
+
+    `mat` holds per-ray material rows (already gathered by id). Rows for
+    missed rays are garbage; callers mask by `hit.valid`.
+    """
+    n = rays.count
+    k_lamb, k_fuzz, k_diel, k_phong, k_coat_pick, k_coat_dir = jax.random.split(key, 6)
+    unit_dir = linalg.normalize(rays.direction)
+    normal = hit.normal
+
+    # --- Lambertian: normal + uniform unit vector, degenerate-guarded
+    # (Material.cu:5-16). The sum is cosine-distributed.
+    lamb_raw = normal + sampling.unit_vector(k_lamb, (n,))
+    lamb_dir = jnp.where(
+        linalg.near_zero(lamb_raw)[..., None], normal, lamb_raw
+    )
+    lamb_dir = linalg.normalize(lamb_dir)
+
+    # --- Metal: mirror + fuzz * in-unit-sphere; absorbed if the perturbed
+    # ray leaves below the surface (Material.h:45-51).
+    mirror = linalg.reflect(unit_dir, normal)
+    fuzz = jnp.minimum(mat.param, 1.0)  # constructor clamp (Material.h:41)
+    metal_raw = mirror + fuzz[..., None] * sampling.in_unit_sphere(k_fuzz, (n,))
+    metal_ok = linalg.dot(metal_raw, normal) > 0.0
+    metal_dir = linalg.normalize(jnp.where(metal_ok[..., None], metal_raw, mirror))
+
+    # --- Dielectric: Schlick-probability reflect vs refract with TIR
+    # (Material.h:65-98). The Bernoulli is stop-gradiented; gradients flow
+    # through the chosen branch's direction values.
+    ior = mat.param
+    eta = jnp.where(hit.front_face, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(linalg.dot(-unit_dir, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = eta * sin_theta > 1.0
+    reflect_prob = schlick(cos_theta, eta)
+    u_diel = sampling.uniform(k_diel, (n,))
+    choose_reflect = jax.lax.stop_gradient(
+        cannot_refract | (reflect_prob > u_diel)
+    )
+    refracted = linalg.refract(unit_dir, normal, eta)
+    diel_dir = linalg.normalize(
+        jnp.where(choose_reflect[..., None], mirror, refracted)
+    )
+
+    # --- Phong metal (Path B METAL, CUDAPathTracer.cu:479-504): lobe around
+    # the mirror direction, exponent from `param` (reference hard-codes 20).
+    phong_dir = sampling.phong_lobe(k_phong, mirror, mat.param)
+
+    # --- Coat (CUDAPathTracer.cu:522-563): 5% specular (white) else diffuse
+    # cosine lobe about the oriented normal.
+    coat_spec = jax.lax.stop_gradient(
+        sampling.uniform(k_coat_pick, (n,)) < 0.05
+    )
+    coat_diff_dir = sampling.cosine_hemisphere(k_coat_dir, normal)
+    coat_dir = jnp.where(coat_spec[..., None], mirror, coat_diff_dir)
+    coat_atten = jnp.where(
+        coat_spec[..., None], jnp.ones_like(mat.albedo), mat.albedo
+    )
+
+    kind = mat.kind
+
+    def is_kind(k):
+        return kind == k
+
+    direction = jnp.where(is_kind(LAMBERTIAN)[..., None], lamb_dir, lamb_dir)
+    direction = jnp.where(is_kind(METAL)[..., None], metal_dir, direction)
+    direction = jnp.where(is_kind(DIELECTRIC)[..., None], diel_dir, direction)
+    direction = jnp.where(is_kind(PHONG_METAL)[..., None], phong_dir, direction)
+    direction = jnp.where(is_kind(SPECULAR)[..., None], linalg.normalize(mirror), direction)
+    direction = jnp.where(is_kind(COAT)[..., None], coat_dir, direction)
+
+    white = jnp.ones_like(mat.albedo)
+    attenuation = mat.albedo
+    # Metal absorption zeroes the contribution (Material.h:49 albedo*bScatter).
+    attenuation = jnp.where(
+        is_kind(METAL)[..., None],
+        mat.albedo * metal_ok[..., None].astype(mat.albedo.dtype),
+        attenuation,
+    )
+    attenuation = jnp.where(is_kind(DIELECTRIC)[..., None], white, attenuation)
+    attenuation = jnp.where(is_kind(COAT)[..., None], coat_atten, attenuation)
+
+    scattered = ~is_kind(EMISSION) & ~(is_kind(METAL) & ~metal_ok)
+
+    emitted = jnp.where(
+        is_kind(EMISSION)[..., None],
+        mat.albedo * mat.param[..., None],
+        jnp.zeros_like(mat.albedo),
+    )
+
+    return Scatter(
+        direction=direction,
+        attenuation=attenuation,
+        scattered=scattered,
+        emitted=emitted,
+    )

@@ -1,0 +1,19 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual CPU mesh (the standard JAX way to
+test multi-device code without hardware); everything must be importable
+before jax initializes, hence the env setup at module import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,68 @@
+"""Headline benchmark: Cornell box 512x512 (BASELINE.json metric).
+
+The reference's best published number is 3857.460 ms for 512x512 x 32 spp at
+<=10 bounces on an sm_61 GPU (images/images.MD:44-53), i.e. ~2.17 M camera
+paths/s. We report paths/s on the same scene geometry (Cornell walls + light
++ metal/glass spheres + two cube meshes) and `vs_baseline` as the ratio to
+that 2.17 M paths/s.
+"""
+
+from __future__ import annotations
+
+import time
+
+REFERENCE_PATHS_PER_SEC = 512 * 512 * 32 / 3.857460  # images/images.MD:44-53
+
+
+def run_bench(
+    width: int = 512,
+    height: int = 512,
+    spp: int = 128,
+    bounces: int = 10,
+    spp_per_pass: int = 16,
+    use_bvh: bool = True,
+    warmup: bool = True,
+) -> dict:
+    import jax
+
+    from raytracingthenextweekcuda_tpu.config import RenderConfig
+    from raytracingthenextweekcuda_tpu.models import integrator, presets
+
+    scene, camera = presets.cornell_box()
+    if use_bvh and scene.triangles.count:
+        try:
+            from raytracingthenextweekcuda_tpu.ops import bvh as bvh_mod
+
+            scene = scene._replace(bvh=bvh_mod.build_bvh(scene.triangles))
+        except ImportError:
+            pass
+
+    cfg = RenderConfig(
+        width=width, height=height, spp=spp, bounces=bounces,
+        spp_per_pass=spp_per_pass,
+    )
+
+    key = jax.random.key(cfg.seed)
+    if warmup:  # compile outside the timed region (GPUTimer analogue)
+        integrator.render_pass(
+            scene, camera, key, cfg, cfg.passes()[0]
+        ).block_until_ready()
+
+    t0 = time.perf_counter()
+    film = integrator.render(scene, camera, cfg, key=key)
+    film.accum.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    paths = width * height * spp
+    paths_per_sec = paths / dt
+    return {
+        "metric": "paths/s/chip, Cornell box 512x512",
+        "value": round(paths_per_sec, 1),
+        "unit": "paths/s",
+        "vs_baseline": round(paths_per_sec / REFERENCE_PATHS_PER_SEC, 3),
+        "render_ms": round(dt * 1000, 2),
+        "config": {
+            "width": width, "height": height, "spp": spp, "bounces": bounces,
+            "device": str(jax.devices()[0]),
+        },
+    }

@@ -1,0 +1,121 @@
+"""Inverse rendering: fit sphere positions + albedos to a target image.
+
+BASELINE config 5. No counterpart exists in the reference (its renderer is
+forward-only); this exercises the property the TPU rebuild was designed
+around — the renderer is a differentiable function of the scene pytree, so
+`jax.grad` of an image loss gives scene-parameter gradients.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from raytracingthenextweekcuda_tpu.config import RenderConfig
+from raytracingthenextweekcuda_tpu.models import integrator
+from raytracingthenextweekcuda_tpu.models.camera import Camera
+from raytracingthenextweekcuda_tpu.models.scene import Scene, SceneBuilder
+
+
+def _make_scene(centers: jnp.ndarray, albedos: jnp.ndarray) -> Scene:
+    """Two lambertian spheres on a ground plane under an emissive dome."""
+    b = SceneBuilder()
+    b.lambertian(0, (0.5, 0.5, 0.5))
+    b.lambertian(1, (0.5, 0.5, 0.5))
+    b.lambertian(2, (0.8, 0.8, 0.8))
+    b.emission(3, (1.0, 1.0, 1.0), 1.5)
+    b.sphere((0.0, 0.0, 0.0), 0.4, 0)
+    b.sphere((0.0, 0.0, 0.0), 0.4, 1)
+    b.plane((0.0, -0.4, 0.0), (0.0, 1.0, 0.0), (50.0, 0.0, 50.0), 2, 2)
+    b.sphere((0.0, 0.0, 0.0), 30.0, 3)  # emissive dome
+    scene = b.build()
+    spheres = scene.spheres._replace(
+        center0=scene.spheres.center0.at[0:2].set(centers),
+        center1=scene.spheres.center1.at[0:2].set(centers),
+    )
+    materials = scene.materials._replace(
+        albedo=scene.materials.albedo.at[0:2].set(albedos)
+    )
+    return scene._replace(spheres=spheres, materials=materials)
+
+
+def run_fit(
+    steps: int = 60,
+    out: str = "fit.png",
+    width: int = 96,
+    height: int = 96,
+    spp: int = 8,
+    lr: float = 2e-2,
+    seed: int = 0,
+    verbose: bool = True,
+) -> int:
+    camera = Camera.make(
+        eye=(0.0, 0.6, 2.2), center=(0.0, 0.0, 0.0), fov=45.0,
+        aperture=0.0, focus_distance=2.2,
+    )
+    cfg = RenderConfig(width=width, height=height, spp=spp, bounces=4, spp_per_pass=spp)
+
+    true_centers = jnp.asarray([[-0.45, 0.0, 0.0], [0.5, 0.05, -0.2]], jnp.float32)
+    true_albedos = jnp.asarray([[0.8, 0.2, 0.2], [0.2, 0.3, 0.8]], jnp.float32)
+
+    key = jax.random.key(seed)
+    target = integrator.render_pass(
+        _make_scene(true_centers, true_albedos), camera, key, cfg, spp
+    ) / spp
+
+    params = {
+        "centers": jnp.asarray([[-0.2, 0.1, 0.1], [0.25, -0.05, 0.0]], jnp.float32),
+        "albedos": jnp.asarray([[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]], jnp.float32),
+    }
+
+    @jax.jit
+    def loss_fn(params, k):
+        img = integrator.render_pass(
+            _make_scene(params["centers"], params["albedos"]), camera, k, cfg, spp
+        ) / spp
+        return jnp.mean((img - target) ** 2)
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        loss, grads = jax.value_and_grad(loss_fn)(params, k)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params["albedos"] = jnp.clip(params["albedos"], 0.0, 1.0)
+        return params, opt_state, loss
+
+    t0 = time.perf_counter()
+    loss0 = None
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i + 1))
+        if loss0 is None:
+            loss0 = float(loss)
+        if verbose and (i % 10 == 0 or i == steps - 1):
+            print(f"  step {i:3d}  loss {float(loss):.5f}", file=sys.stderr)
+
+    final_loss = float(loss)
+    center_err = float(jnp.abs(params["centers"] - true_centers).max())
+    albedo_err = float(jnp.abs(params["albedos"] - true_albedos).max())
+    if verbose:
+        print(
+            f"fit: loss {loss0:.5f} -> {final_loss:.5f} in "
+            f"{time.perf_counter() - t0:.1f}s; max center err {center_err:.3f}, "
+            f"max albedo err {albedo_err:.3f}", file=sys.stderr,
+        )
+
+    from raytracingthenextweekcuda_tpu.io.image import write_png
+    from raytracingthenextweekcuda_tpu.models.film import tonemap_u8
+
+    final = integrator.render_pass(
+        _make_scene(params["centers"], params["albedos"]), camera, key, cfg, spp
+    ) / spp
+    side = jnp.concatenate([target, final], axis=1)
+    write_png(out, np.asarray(tonemap_u8(side))[::-1])
+    return 0 if final_loss < loss0 * 0.5 else 1

@@ -1,0 +1,150 @@
+"""Command-line frontend.
+
+Replaces the reference's offline main() (main.cu:938-955): render a scene to
+PNG with timing. Subcommands:
+
+    rtnw render --scene scenes/cornellbox.yaml --spp 128 --out render.png
+    rtnw render --preset cornell --width 512 --height 512
+    rtnw bench  [--width 512 --height 512 --spp 128]
+    rtnw fit    --steps 60       (inverse-rendering demo, BASELINE config 5)
+
+(The realtime OpenGL/ImGui frontend maps to `rtnw render --progressive`,
+which re-renders progressively and rewrites the output each pass — the
+accumulate/reset protocol of main.cu:875-898 without a GL window.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_scene(args):
+    from raytracingthenextweekcuda_tpu.models import presets
+
+    if args.scene:
+        from raytracingthenextweekcuda_tpu.io.yaml_scene import load_scene
+
+        return load_scene(args.scene)
+    name = args.preset or "cornell"
+    table = {
+        "cornell": presets.cornell_box,
+        "cornell-empty": lambda: presets.cornell_box(with_spheres=False, with_cubes=False),
+        "defocus": presets.defocus_blur,
+        "rtiow-final": presets.rtiow_final,
+        "sphere-plane": presets.diffuse_sphere_plane,
+        "mesh": presets.mesh_showcase,
+    }
+    if name not in table:
+        raise SystemExit(f"unknown preset '{name}' (choose from {sorted(table)})")
+    return table[name]()
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from raytracingthenextweekcuda_tpu.config import RenderConfig
+    from raytracingthenextweekcuda_tpu.io.image import write_png
+    from raytracingthenextweekcuda_tpu.models import integrator
+    from raytracingthenextweekcuda_tpu.models.film import Film, to_image
+
+    scene, camera = _build_scene(args)
+    cfg = RenderConfig(
+        width=args.width, height=args.height, spp=args.spp,
+        bounces=args.bounces, spp_per_pass=args.spp_per_pass,
+        russian_roulette=args.russian_roulette, seed=args.seed,
+    )
+    if args.bvh and scene.triangles.count:
+        from raytracingthenextweekcuda_tpu.ops import bvh as bvh_mod
+
+        scene = scene._replace(bvh=bvh_mod.build_bvh(scene.triangles))
+
+    print(
+        f"rendering {cfg.width}x{cfg.height} spp={cfg.spp} bounces={cfg.bounces} "
+        f"on {jax.devices()[0].platform}", file=sys.stderr,
+    )
+    if args.progressive:
+        film = Film.create(cfg.width, cfg.height)
+        key = jax.random.key(cfg.seed)
+        t0 = time.perf_counter()
+        for i, chunk in enumerate(cfg.passes()):
+            film = film.add(
+                integrator.render_pass(scene, camera, jax.random.fold_in(key, i), cfg, chunk),
+                chunk,
+            )
+            film.accum.block_until_ready()
+            write_png(args.out, to_image(film))
+            print(
+                f"  pass {i}: {int(film.sample_count)} spp, "
+                f"{time.perf_counter() - t0:.2f}s -> {args.out}", file=sys.stderr,
+            )
+    else:
+        t0 = time.perf_counter()
+        film = integrator.render(scene, camera, cfg)
+        film.accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        write_png(args.out, to_image(film))
+        rays = cfg.num_pixels * cfg.spp
+        print(
+            f"rendered in {dt * 1000:.1f} ms "
+            f"({rays / dt / 1e6:.2f} Mpaths/s) -> {args.out}", file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from raytracingthenextweekcuda_tpu.apps.bench import run_bench
+
+    result = run_bench(
+        width=args.width, height=args.height, spp=args.spp, bounces=args.bounces
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_fit(args) -> int:
+    from raytracingthenextweekcuda_tpu.apps.fit import run_fit
+
+    return run_fit(steps=args.steps, out=args.out)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rtnw", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    pr.add_argument("--scene", help="YAML scene file (reference schema)")
+    pr.add_argument("--preset", help="built-in scene preset")
+    pr.add_argument("--width", type=int, default=512)
+    pr.add_argument("--height", type=int, default=512)
+    pr.add_argument("--spp", type=int, default=32)
+    pr.add_argument("--bounces", type=int, default=10)
+    pr.add_argument("--spp-per-pass", type=int, default=8)
+    pr.add_argument("--seed", type=int, default=1984)
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--bvh", action="store_true", help="build LBVH over meshes")
+    pr.add_argument("--russian-roulette", action="store_true")
+    pr.add_argument("--progressive", action="store_true",
+                    help="write the PNG after every pass (realtime-frontend analogue)")
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark, print one JSON line")
+    pb.add_argument("--width", type=int, default=512)
+    pb.add_argument("--height", type=int, default=512)
+    pb.add_argument("--spp", type=int, default=128)
+    pb.add_argument("--bounces", type=int, default=10)
+    pb.set_defaults(fn=cmd_bench)
+
+    pf = sub.add_parser("fit", help="inverse-rendering demo (BASELINE config 5)")
+    pf.add_argument("--steps", type=int, default=60)
+    pf.add_argument("--out", default="fit.png")
+    pf.set_defaults(fn=cmd_fit)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

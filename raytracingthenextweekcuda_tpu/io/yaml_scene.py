@@ -1,0 +1,112 @@
+"""YAML scene loader — reference-schema compatible.
+
+Parses the exact schema of resources/scenes/*.yaml so reference scene files
+load verbatim (SCENE 1 branch, main.cu:623-786):
+
+    camera: {eye, center, up, aperture, fov}
+    objects:
+      - sphere: {type: 0, center, radius, materialId, material: {...}}
+      - plane:  {type: 1, orientation, position, normal, extend, materialId,
+                 twoSide, material: {...}}
+      - mesh:   {type: 2, model, scale, rotate, offset, materialId,
+                 material: {...}}
+
+Material `type`: 0 Lambertian{albedo} / 1 Metal{albedo, fuzz} /
+2 Dieletric{indexOfRefraction} / 3 Emission{albedo, intensity}
+(MaterialType enum order, Material.h:8-13; parse at main.cu:710-747).
+First definition of a materialId wins (create-if-null semantics).
+
+Divergence noted: the reference binds every YAML mesh to materials[3]
+regardless of its materialId (main.cu:781 — an apparent bug); we honor the
+declared materialId, which is identical for the shipped scenes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+from raytracingthenextweekcuda_tpu.io.obj import load_obj
+from raytracingthenextweekcuda_tpu.io.ply import load_ply
+from raytracingthenextweekcuda_tpu.models.camera import Camera
+from raytracingthenextweekcuda_tpu.models.scene import Scene, SceneBuilder
+
+# MaterialType enum order (Material.h:8-13).
+_MAT_LAMBERTIAN, _MAT_METAL, _MAT_DIELECTRIC, _MAT_EMISSION = 0, 1, 2, 3
+
+DEFAULT_MODEL_ROOTS = [
+    "assets/models",
+    os.path.join(os.path.dirname(__file__), "..", "..", "assets", "models"),
+]
+
+
+def _resolve_model(path: str, model_roots) -> str:
+    for root in model_roots:
+        candidate = os.path.join(root, path)
+        if os.path.exists(candidate):
+            return candidate
+    raise FileNotFoundError(
+        f"model '{path}' not found under any of {list(model_roots)}"
+    )
+
+
+def _register_material(builder: SceneBuilder, material_id: int, spec: dict) -> None:
+    mtype = int(spec["type"])
+    if mtype == _MAT_LAMBERTIAN:
+        builder.lambertian(material_id, tuple(spec["albedo"]))
+    elif mtype == _MAT_METAL:
+        builder.metal(material_id, tuple(spec["albedo"]), float(spec.get("fuzz", 1.0)))
+    elif mtype == _MAT_DIELECTRIC:
+        builder.dielectric(material_id, float(spec["indexOfRefraction"]))
+    elif mtype == _MAT_EMISSION:
+        builder.emission(
+            material_id, tuple(spec["albedo"]), float(spec.get("intensity", 1.0))
+        )
+    else:
+        raise ValueError(f"unknown material type {mtype}")
+
+
+def load_scene(
+    path: str, model_roots=None, extra_camera_kw=None
+) -> tuple[Scene, Camera]:
+    """Load a reference-format YAML scene file -> (Scene, Camera)."""
+    if model_roots is None:
+        model_roots = DEFAULT_MODEL_ROOTS + [os.path.dirname(os.path.abspath(path))]
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+
+    camera = Camera.from_yaml_block(doc["camera"])
+
+    builder = SceneBuilder()
+    for entry in doc.get("objects", []):
+        (kind_name, obj), = entry.items()
+        material_id = int(obj["materialId"])
+        if "material" in obj:
+            _register_material(builder, material_id, obj["material"])
+        prim_type = int(obj["type"])
+        if prim_type == 0:  # Sphere (PrimitiveType order, Hitable.h:7-11)
+            builder.sphere(tuple(obj["center"]), float(obj["radius"]), material_id)
+        elif prim_type == 1:  # Plane
+            builder.plane(
+                position=tuple(obj["position"]),
+                normal=tuple(obj["normal"]),
+                extend=tuple(obj["extend"]),
+                orientation=int(obj["orientation"]),
+                material_id=material_id,
+                two_sided=bool(obj.get("twoSide", True)),
+            )
+        elif prim_type == 2:  # TriangleMesh
+            model_path = _resolve_model(obj["model"], model_roots)
+            scale = tuple(obj.get("scale", (1.0, 1.0, 1.0)))
+            rotate = tuple(obj.get("rotate", (0.0, 0.0, 0.0)))
+            offset = tuple(obj.get("offset", (0.0, 0.0, 0.0)))
+            if model_path.lower().endswith(".ply"):
+                tris = load_ply(model_path, offset=offset)
+            else:
+                tris = load_obj(model_path, scale=scale, rotate=rotate, offset=offset)
+            builder.mesh(tris, material_id)
+        else:
+            raise ValueError(f"unknown primitive type {prim_type} ({kind_name})")
+
+    return builder.build(), camera

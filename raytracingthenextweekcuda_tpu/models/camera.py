@@ -106,25 +106,47 @@ def derive(camera: Camera, aspect_ratio: float) -> CameraFrame:
     )
 
 
-def generate_rays(frame: CameraFrame, key, width: int, height: int) -> Rays:
-    """One jittered primary ray per pixel, flattened row-major, y=0 at the
-    image bottom (the Canvas PNG writer flips vertically, Canvas.h:141-154).
+def per_pixel_keys(pass_key, pixel_ids: jnp.ndarray):
+    """Counter-based per-ray PRNG keys: fold_in(pass_key, pixel_id).
+
+    This replaces curand's per-pixel sequence (curand_init(1984, pixel),
+    main.cu:127) with a stateless derivation — a ray's randomness depends
+    only on (seed, pass, pixel), never on which device traces it, which
+    makes tile-sharded renders bit-identical to single-device renders.
+    """
+    return jax.vmap(lambda i: jax.random.fold_in(pass_key, i))(pixel_ids)
+
+
+def generate_rays(
+    frame: CameraFrame, pass_key, width: int, height: int,
+    pixel_ids: jnp.ndarray | None = None,
+) -> Rays:
+    """One jittered primary ray per pixel of `pixel_ids` (default: all
+    pixels, flattened row-major, y=0 at the image bottom — the Canvas PNG
+    writer flips vertically, Canvas.h:141-154).
 
     Matches renderKernel's sample placement dx=(x+u)/(width-1),
     dy=(y+v)/(height-1) (main.cu:179-183) and getRay's lens-disk offset +
     shutter-time draw (Camera.h:151-168). Directions are normalized (the
     reference normalizes primary-ray directions too, Camera.h:166).
     """
-    n = width * height
-    k_jitter, k_lens, k_time = jax.random.split(key, 3)
-    xs = jnp.tile(jnp.arange(width, dtype=DTYPE), height)
-    ys = jnp.repeat(jnp.arange(height, dtype=DTYPE), width)
-    jitter = jax.random.uniform(k_jitter, (n, 2), dtype=DTYPE)
-    dx = (xs + jitter[:, 0]) / (width - 1)
-    dy = (ys + jitter[:, 1]) / (height - 1)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    keys = per_pixel_keys(pass_key, pixel_ids)
+    # 5 uniforms per ray: pixel jitter (2), lens disk (2), shutter time (1).
+    u = jax.vmap(lambda k: jax.random.uniform(k, (5,), dtype=DTYPE))(keys)
 
-    disk = frame.lens_radius * sampling.in_unit_disk(k_lens, (n,))  # (N, 2)
-    offset = disk[:, 0:1] * frame.right + disk[:, 1:2] * frame.true_up
+    xs = (pixel_ids % width).astype(DTYPE)
+    ys = (pixel_ids // width).astype(DTYPE)
+    dx = (xs + u[:, 0]) / (width - 1)
+    dy = (ys + u[:, 1]) / (height - 1)
+
+    # Closed-form unit disk from the two lens uniforms (Utils.h:96-104).
+    r = jnp.sqrt(u[:, 2])
+    phi = 2.0 * jnp.pi * u[:, 3]
+    disk_x = frame.lens_radius * r * jnp.cos(phi)
+    disk_y = frame.lens_radius * r * jnp.sin(phi)
+    offset = disk_x[:, None] * frame.right + disk_y[:, None] * frame.true_up
     origin = frame.origin + offset
     direction = (
         frame.lower_left
@@ -133,5 +155,5 @@ def generate_rays(frame: CameraFrame, key, width: int, height: int) -> Rays:
         - origin
     )
     direction = linalg.normalize(direction)
-    time = sampling.uniform(k_time, (n,)) * (frame.time1 - frame.time0) + frame.time0
-    return Rays(origin=origin, direction=direction, time=time)
+    time = u[:, 4] * (frame.time1 - frame.time0) + frame.time0
+    return Rays(origin=origin, direction=direction, time=time), keys

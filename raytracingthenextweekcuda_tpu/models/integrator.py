@@ -50,10 +50,26 @@ def sky_color(direction: jnp.ndarray) -> jnp.ndarray:
 def intersect_scene(scene: Scene, rays: Rays, tmin, tmax) -> Hit:
     """Closest hit across all primitive batches.
 
+    Three regimes, all semantics-identical:
+    * packed (scene.packed set, via models.scene.finalize): one fused Pallas
+      kernel over all primitive types — the production TPU path; all
+      intermediates stay in VMEM.
+    * BVH (scene.bvh set): packed kernel for spheres/planes + LBVH traversal
+      for large triangle meshes.
+    * fallback: pure-XLA batched intersects (also the CPU/test oracle).
+
     The per-type empty checks are static (trace-time) shape tests, so absent
     primitive types compile to nothing — the analogue of null entries in the
     reference's `constantObjects` table (main.cu:47-49).
     """
+    if scene.packed is not None and scene.bvh is None:
+        from raytracingthenextweekcuda_tpu.ops.fused import intersect_scene_fused
+
+        return intersect_scene_fused(
+            scene, scene.packed, rays, tmin,
+            interpret=jax.default_backend() == "cpu",
+        )
+
     hit = Hit.none(rays.count)
     if scene.spheres.count:
         hit = closer(hit, intersect.intersect_spheres(rays, scene.spheres, tmin, tmax))
@@ -74,11 +90,15 @@ def intersect_scene(scene: Scene, rays: Rays, tmin, tmax) -> Hit:
     return hit
 
 
-def trace(scene: Scene, rays: Rays, key, cfg: RenderConfig) -> jnp.ndarray:
-    """Path-trace a wavefront to completion. Returns radiance (N, 3)."""
+def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
+    """Path-trace a wavefront to completion. Returns radiance (N, 3).
+
+    `ray_keys` are per-ray counter-based keys (camera.per_pixel_keys); each
+    bounce folds the bounce index in, so every random draw is a pure function
+    of (seed, pass, pixel, bounce) — independent of device placement.
+    """
     n = rays.count
     dtype = rays.origin.dtype
-    bounce_keys = jax.random.split(key, cfg.bounces)
 
     state = (
         rays,
@@ -87,13 +107,13 @@ def trace(scene: Scene, rays: Rays, key, cfg: RenderConfig) -> jnp.ndarray:
         jnp.ones((n,), bool),      # alive
     )
 
-    def bounce(state, inputs):
-        bounce_idx, bkey = inputs
+    def bounce(state, bounce_idx):
         rays_b, throughput, radiance, alive = state
+        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, bounce_idx + 1))(ray_keys)
 
         hit = intersect_scene(scene, rays_b, cfg.tmin, INFINITY)
         mat = scene.materials.gather(hit.material_id)
-        scat = scatter(bkey, rays_b, hit, mat)
+        scat = scatter(bkeys, rays_b, hit, mat)
 
         if cfg.sky_background:
             sky = sky_color(rays_b.direction)
@@ -113,10 +133,10 @@ def trace(scene: Scene, rays: Rays, key, cfg: RenderConfig) -> jnp.ndarray:
         )
 
         if cfg.russian_roulette:
-            rr_key = jax.random.fold_in(bkey, 0x52525252)
+            rr_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5252))(bkeys)
             p = jnp.clip(jnp.max(new_throughput, axis=-1), 0.05, 1.0)
             p = jax.lax.stop_gradient(p)
-            u = jax.random.uniform(rr_key, (n,), dtype=dtype)
+            u = jax.vmap(lambda k: jax.random.uniform(k, (), dtype=dtype))(rr_keys)
             do_rr = bounce_idx >= cfg.rr_start_bounce
             survive = ~do_rr | (u < p)
             new_throughput = jnp.where(
@@ -136,7 +156,7 @@ def trace(scene: Scene, rays: Rays, key, cfg: RenderConfig) -> jnp.ndarray:
         return (new_rays, new_throughput, radiance, cont), None
 
     (_, _, radiance, _), _ = jax.lax.scan(
-        bounce, state, (jnp.arange(cfg.bounces), bounce_keys)
+        bounce, state, jnp.arange(cfg.bounces)
     )
     return radiance
 
@@ -153,9 +173,8 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
     sample_keys = jax.random.split(key, samples)
 
     def one_sample(accum, skey):
-        k_ray, k_path = jax.random.split(skey)
-        rays = camera_mod.generate_rays(frame, k_ray, cfg.width, cfg.height)
-        radiance = trace(scene, rays, k_path, cfg)
+        rays, ray_keys = camera_mod.generate_rays(frame, skey, cfg.width, cfg.height)
+        radiance = trace(scene, rays, ray_keys, cfg)
         return accum + radiance, None
 
     accum = jnp.zeros((cfg.num_pixels, 3), frame.origin.dtype)

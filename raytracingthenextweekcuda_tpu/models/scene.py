@@ -43,6 +43,27 @@ class Scene(NamedTuple):
     mesh_info: MeshInfo
     # Flattened LBVH arrays (ops/bvh.py) or None for brute-force meshes.
     bvh: Optional[tuple] = None
+    # PackedScene for the fused Pallas intersect kernel (ops/fused.py).
+    packed: Optional[object] = None
+
+
+def finalize(scene: Scene, use_bvh: bool | None = None, bvh_threshold: int = 8192) -> Scene:
+    """Prepare a built scene for rendering: pack primitives for the fused
+    Pallas kernel and optionally build the LBVH for large meshes.
+
+    `use_bvh=None` auto-selects: brute-force fused kernel below
+    `bvh_threshold` triangles (on TPU the tiled brute kernel beats
+    gather-heavy traversal for small meshes), LBVH above.
+    """
+    from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import pack_scene
+
+    if use_bvh is None:
+        use_bvh = scene.triangles.count > bvh_threshold
+    if use_bvh and scene.triangles.count >= 2:
+        from raytracingthenextweekcuda_tpu.ops.bvh import build_bvh
+
+        scene = scene._replace(bvh=build_bvh(scene.triangles))
+    return scene._replace(packed=pack_scene(scene))
 
 
 class SceneBuilder:

@@ -58,45 +58,62 @@ def schlick(cosine: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndarray:
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
 
 
-def scatter(key, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
+def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
     """Evaluate all material kinds for all rays and blend by `mat.kind`.
 
+    `keys` is a per-ray key array (counter-based, see
+    camera.per_pixel_keys) so scatter randomness is a pure function of
+    (seed, pass, pixel, bounce) — device-placement independent.
     `mat` holds per-ray material rows (already gathered by id). Rows for
     missed rays are garbage; callers mask by `hit.valid`.
     """
-    n = rays.count
-    k_lamb, k_fuzz, k_diel, k_phong, k_coat_pick, k_coat_dir = jax.random.split(key, 6)
+    # 9 uniforms per ray cover every kind's draws.
+    u = jax.vmap(lambda k: jax.random.uniform(k, (9,), dtype=rays.origin.dtype))(keys)
     unit_dir = linalg.normalize(rays.direction)
     normal = hit.normal
 
+    def u_unit_vector(u1, u2):
+        """Uniform unit vector from two uniforms (closed form)."""
+        z = 1.0 - 2.0 * u1
+        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        phi = 2.0 * jnp.pi * u2
+        return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
     # --- Lambertian: normal + uniform unit vector, degenerate-guarded
     # (Material.cu:5-16). The sum is cosine-distributed.
-    lamb_raw = normal + sampling.unit_vector(k_lamb, (n,))
+    lamb_raw = normal + u_unit_vector(u[:, 0], u[:, 1])
     lamb_dir = jnp.where(
         linalg.near_zero(lamb_raw)[..., None], normal, lamb_raw
     )
     lamb_dir = linalg.normalize(lamb_dir)
 
+    # NOTE on guards below: every kind's expression is evaluated for every
+    # ray and blended by masks, so unselected branches MUST stay finite —
+    # a NaN primal in a dead branch still poisons reverse-mode AD through
+    # the 0-cotangent x NaN-partial product (the classic double-where rule).
+
     # --- Metal: mirror + fuzz * in-unit-sphere; absorbed if the perturbed
     # ray leaves below the surface (Material.h:45-51).
     mirror = linalg.reflect(unit_dir, normal)
     fuzz = jnp.minimum(mat.param, 1.0)  # constructor clamp (Material.h:41)
-    metal_raw = mirror + fuzz[..., None] * sampling.in_unit_sphere(k_fuzz, (n,))
+    # max() guards cbrt's infinite slope at exactly 0.
+    ball = u_unit_vector(u[:, 2], u[:, 3]) * jnp.cbrt(jnp.maximum(u[:, 4], 1e-12))[..., None]
+    metal_raw = mirror + fuzz[..., None] * ball
     metal_ok = linalg.dot(metal_raw, normal) > 0.0
     metal_dir = linalg.normalize(jnp.where(metal_ok[..., None], metal_raw, mirror))
 
     # --- Dielectric: Schlick-probability reflect vs refract with TIR
     # (Material.h:65-98). The Bernoulli is stop-gradiented; gradients flow
     # through the chosen branch's direction values.
-    ior = mat.param
+    is_diel = mat.kind == DIELECTRIC
+    ior = jnp.where(is_diel & (mat.param > 0), mat.param, 1.5)
     eta = jnp.where(hit.front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(linalg.dot(-unit_dir, normal), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = eta * sin_theta > 1.0
     reflect_prob = schlick(cos_theta, eta)
-    u_diel = sampling.uniform(k_diel, (n,))
     choose_reflect = jax.lax.stop_gradient(
-        cannot_refract | (reflect_prob > u_diel)
+        cannot_refract | (reflect_prob > u[:, 5])
     )
     refracted = linalg.refract(unit_dir, normal, eta)
     diel_dir = linalg.normalize(
@@ -105,14 +122,18 @@ def scatter(key, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
 
     # --- Phong metal (Path B METAL, CUDAPathTracer.cu:479-504): lobe around
     # the mirror direction, exponent from `param` (reference hard-codes 20).
-    phong_dir = sampling.phong_lobe(k_phong, mirror, mat.param)
+    # u clamped away from 0: pow's derivative at 0 is infinite.
+    phong_dir = sampling.phong_lobe_from_uniforms(
+        jnp.maximum(u[:, 6], 1e-12), u[:, 7], linalg.normalize(mirror),
+        jnp.maximum(mat.param, 0.0),
+    )
 
     # --- Coat (CUDAPathTracer.cu:522-563): 5% specular (white) else diffuse
     # cosine lobe about the oriented normal.
-    coat_spec = jax.lax.stop_gradient(
-        sampling.uniform(k_coat_pick, (n,)) < 0.05
+    coat_spec = jax.lax.stop_gradient(u[:, 8] < 0.05)
+    coat_diff_dir = sampling.cosine_hemisphere_from_uniforms(
+        u[:, 6], u[:, 7], normal
     )
-    coat_diff_dir = sampling.cosine_hemisphere(k_coat_dir, normal)
     coat_dir = jnp.where(coat_spec[..., None], mirror, coat_diff_dir)
     coat_atten = jnp.where(
         coat_spec[..., None], jnp.ones_like(mat.albedo), mat.albedo

@@ -1,0 +1,376 @@
+"""Fused scene-intersection Pallas kernel.
+
+The megakernel's replacement for the hot loop. The pure-XLA batched
+intersects (ops/intersect.py) materialize (N, P)-shaped broadcast temps in
+HBM — profiling the Cornell trace showed 1.26 GFLOP but 29.7 GB of HBM
+traffic, hopelessly memory-bound. This kernel is the TPU-native fix:
+
+* rays are tiled into VMEM blocks of (8, 128) x RAY_TILE_ROWS lanes;
+* ALL primitive data (spheres + planes + triangles, padded to 128) sits in
+  VMEM for the kernel's lifetime — the analogue of the reference keeping its
+  triangle/BVH data in texture cache (main.cu:352-382);
+* the (ray x prim) Möller–Trumbore / quadratic / slab math runs tile-by-tile
+  entirely in registers/VMEM, reducing to a per-ray closest (t, code) with
+  NO HBM intermediates. HBM traffic = read rays once + write (t, code) once.
+
+The kernel returns the winning primitive as a packed int32 code
+(type << 24 | index) plus t. It is selection-only and wrapped in
+stop_gradient by the caller; the differentiable Hit (t, normal as functions
+of scene params) is recomputed outside from the winner's parameters — the
+same fixed-topology trick ops/traverse.py uses.
+
+Primitive parity notes:
+  spheres  — half-b quadratic, disc > FLT_EPSILON, near-then-far root
+             (Sphere.cu:3-78), motion-blur center lerp per ray time;
+  planes   — denominator gate two_sided ? |d.n|>eps : d.n>eps, strict
+             2-axis extent test by orientation, t in [tmin, tmax)
+             (Plane.cu:4-52);
+  triangles— Möller–Trumbore with optional backface cull via det sign
+             (TriangleMesh.cu:57-80).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingthenextweekcuda_tpu.config import DTYPE, EPSILON, FLT_EPSILON
+
+RAY_BLOCK = 1024          # rays per kernel instance (shaped (8, 128) in VMEM)
+PRIM_TILE = 128           # primitives per inner tile (one lane row)
+# Plain Python scalars: jnp constants would be captured tracers in pallas.
+BIG = 3.0e38
+_CODE_MAX = 2**30
+
+TYPE_SPHERE = 1
+TYPE_PLANE = 2
+TYPE_TRIANGLE = 3
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedScene:
+    """Scene primitives packed into kernel-friendly padded planar arrays.
+
+    Every array is (K, pad128) f32 — component-planar, padded with
+    never-hit values. `counts` (true S, P, T) is static pytree aux data so
+    trace-time `if` tests stay Python bools. Built by `pack_scene`, which is
+    pure jnp and jit-safe, so inverse-rendering steps can repack the scene
+    from updated parameters on-device every iteration.
+    """
+
+    def __init__(self, spheres, planes, triangles, counts):
+        self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
+        self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
+        self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
+        self.counts = counts        # static (S, P, T)
+
+    def tree_flatten(self):
+        return (self.spheres, self.planes, self.triangles), self.counts
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+
+def _pad128(n: int) -> int:
+    return max(128, ((n + 127) // 128) * 128)
+
+
+def pack_scene(scene) -> PackedScene:
+    """Pack Scene primitive SoA into planar padded arrays (jnp, jit-safe).
+
+    Values are stop-gradient'd: the kernel output is selection-only.
+    """
+    sg = jax.lax.stop_gradient
+
+    sph = scene.spheres
+    S = sph.count
+    sp = jnp.zeros((10, _pad128(S)), DTYPE)
+    if S:
+        c0 = sg(sph.center0)
+        dc = sg(sph.center1) - c0
+        sp = sp.at[0:3, :S].set(c0.T)
+        sp = sp.at[3:6, :S].set(dc.T)
+        sp = sp.at[6, :S].set(sg(sph.time0))
+        sp = sp.at[7, :S].set(1.0 / (sg(sph.time1) - sg(sph.time0)))
+        sp = sp.at[8, :S].set(sg(sph.radius))
+    # radius 0 in padding -> disc test never passes.
+
+    pla = scene.planes
+    P = pla.count
+    pp = jnp.zeros((13, _pad128(P)), DTYPE)
+    if P:
+        pos = sg(pla.position)
+        ext = sg(pla.extend)
+        lo = pos - ext
+        hi = pos + ext
+        # The finite-extent test only checks the two axes named by the
+        # orientation (Plane.cu:24-46); open the third axis' interval.
+        # XY -> z free, YZ -> x free, XZ -> y free.
+        open_axis = jnp.asarray([2, 0, 1], jnp.int32)[pla.orientation]  # (P,)
+        axis_ids = jnp.arange(3)[None, :]
+        is_open = axis_ids == open_axis[:, None]
+        lo = jnp.where(is_open, -3e38, lo)
+        hi = jnp.where(is_open, 3e38, hi)
+        pp = pp.at[0:3, :P].set(pos.T)
+        pp = pp.at[3:6, :P].set(sg(pla.normal).T)
+        pp = pp.at[6:9, :P].set(lo.T)
+        pp = pp.at[9:12, :P].set(hi.T)
+        pp = pp.at[12, :P].set(pla.two_sided.astype(DTYPE))
+    # padding: normal 0 -> denominator 0 -> gate fails.
+
+    tri = scene.triangles
+    T = tri.count
+    tp = jnp.zeros((9, _pad128(T)), DTYPE)
+    if T:
+        v = sg(tri.vertices)
+        tp = tp.at[0:3, :T].set(v[:, 0].T)
+        tp = tp.at[3:6, :T].set((v[:, 1] - v[:, 0]).T)
+        tp = tp.at[6:9, :T].set((v[:, 2] - v[:, 0]).T)
+    # padding: e1=e2=0 -> det 0 -> culled.
+
+    return PackedScene(sp, pp, tp, (S, P, T))
+
+
+def _intersect_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    sph_ref, pla_ref, tri_ref,
+    t_ref, code_ref,
+    *, n_sph_tiles: int, n_pla_tiles: int, n_tri_tiles: int,
+    tmin: float, backface_cull: bool,
+):
+    # Ray block refs are (1, ROWS, 128); drop the leading block axis.
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tm_ref[0]
+    shape = ox.shape  # (ROWS, 128)
+
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    best_code = jnp.full(shape, -1, jnp.int32)
+
+    o1 = lambda a: a[..., None]          # (ROWS, 128) -> (ROWS, 128, 1)
+    # Primitive tiles broadcast on a trailing axis of PRIM_TILE.
+
+    def prim_row(ref, row, j):
+        return ref[row, pl.ds(j * PRIM_TILE, PRIM_TILE)][None, None, :]
+
+    def consider(valid, t, code, best_t, best_code):
+        # Reduce (ROWS, 128, PRIM_TILE) candidates over the prim axis with
+        # min-reductions only (no gathers — TPU-hostile inside kernels).
+        t_masked = jnp.where(valid, t, BIG)
+        tile_best = jnp.min(t_masked, axis=-1)
+        improved = tile_best < best_t
+        is_best = valid & (t_masked <= o1(tile_best))
+        win_code = jnp.min(jnp.where(is_best, code, _CODE_MAX), axis=-1)
+        return (
+            jnp.where(improved, tile_best, best_t),
+            jnp.where(improved, win_code, best_code),
+        )
+
+    # ---- spheres ----
+    def sphere_tile(j, carry):
+        best_t, best_code = carry
+        cx = prim_row(sph_ref, 0, j) + prim_row(sph_ref, 3, j) * (
+            (o1(tm) - prim_row(sph_ref, 6, j)) * prim_row(sph_ref, 7, j)
+        )
+        cy = prim_row(sph_ref, 1, j) + prim_row(sph_ref, 4, j) * (
+            (o1(tm) - prim_row(sph_ref, 6, j)) * prim_row(sph_ref, 7, j)
+        )
+        cz = prim_row(sph_ref, 2, j) + prim_row(sph_ref, 5, j) * (
+            (o1(tm) - prim_row(sph_ref, 6, j)) * prim_row(sph_ref, 7, j)
+        )
+        r = prim_row(sph_ref, 8, j)
+        ocx, ocy, ocz = o1(ox) - cx, o1(oy) - cy, o1(oz) - cz
+        a = o1(dx * dx + dy * dy + dz * dz)
+        half_b = ocx * o1(dx) + ocy * o1(dy) + ocz * o1(dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = half_b * half_b - a * c
+        ok = disc > FLT_EPSILON
+        sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+        inv_a = 1.0 / a
+        r0 = (-half_b - sq) * inv_a
+        r1 = (-half_b + sq) * inv_a
+        in0 = (r0 >= tmin) & (r0 <= o1(best_t))
+        in1 = (r1 >= tmin) & (r1 <= o1(best_t))
+        t = jnp.where(in0, r0, r1)
+        valid = ok & (in0 | in1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2) + j * PRIM_TILE
+        code = (TYPE_SPHERE << 24) | idx
+        return consider(valid, t, code, best_t, best_code)
+
+    best_t, best_code = jax.lax.fori_loop(
+        0, n_sph_tiles, sphere_tile, (best_t, best_code)
+    )
+
+    # ---- planes ----
+    def plane_tile(j, carry):
+        best_t, best_code = carry
+        nx, ny, nz = (prim_row(pla_ref, 3, j), prim_row(pla_ref, 4, j),
+                      prim_row(pla_ref, 5, j))
+        denom = o1(dx) * nx + o1(dy) * ny + o1(dz) * nz
+        two_sided = prim_row(pla_ref, 12, j) > 0.5
+        gate = jnp.where(two_sided, jnp.abs(denom) > EPSILON, denom > EPSILON)
+        inv_den = 1.0 / jnp.where(gate, denom, 1.0)
+        pox = prim_row(pla_ref, 0, j) - o1(ox)
+        poy = prim_row(pla_ref, 1, j) - o1(oy)
+        poz = prim_row(pla_ref, 2, j) - o1(oz)
+        t = (pox * nx + poy * ny + poz * nz) * inv_den
+        hx = o1(ox) + t * o1(dx)
+        hy = o1(oy) + t * o1(dy)
+        hz = o1(oz) + t * o1(dz)
+        inside = (
+            (hx > prim_row(pla_ref, 6, j)) & (hx < prim_row(pla_ref, 9, j))
+            & (hy > prim_row(pla_ref, 7, j)) & (hy < prim_row(pla_ref, 10, j))
+            & (hz > prim_row(pla_ref, 8, j)) & (hz < prim_row(pla_ref, 11, j))
+        )
+        valid = gate & inside & (t >= tmin) & (t < o1(best_t))
+        idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2) + j * PRIM_TILE
+        code = (TYPE_PLANE << 24) | idx
+        return consider(valid, t, code, best_t, best_code)
+
+    best_t, best_code = jax.lax.fori_loop(
+        0, n_pla_tiles, plane_tile, (best_t, best_code)
+    )
+
+    # ---- triangles ----
+    def tri_tile(j, carry):
+        best_t, best_code = carry
+        e1x, e1y, e1z = (prim_row(tri_ref, 3, j), prim_row(tri_ref, 4, j),
+                         prim_row(tri_ref, 5, j))
+        e2x, e2y, e2z = (prim_row(tri_ref, 6, j), prim_row(tri_ref, 7, j),
+                         prim_row(tri_ref, 8, j))
+        px = o1(dy) * e2z - o1(dz) * e2y
+        py = o1(dz) * e2x - o1(dx) * e2z
+        pz = o1(dx) * e2y - o1(dy) * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        if backface_cull:
+            ok = det > FLT_EPSILON
+        else:
+            ok = jnp.abs(det) > FLT_EPSILON
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tx = o1(ox) - prim_row(tri_ref, 0, j)
+        ty = o1(oy) - prim_row(tri_ref, 1, j)
+        tz = o1(oz) - prim_row(tri_ref, 2, j)
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (o1(dx) * qx + o1(dy) * qy + o1(dz) * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        valid = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > tmin) & (t < o1(best_t))
+        )
+        idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2) + j * PRIM_TILE
+        code = (TYPE_TRIANGLE << 24) | idx
+        return consider(valid, t, code, best_t, best_code)
+
+    best_t, best_code = jax.lax.fori_loop(
+        0, n_tri_tiles, tri_tile, (best_t, best_code)
+    )
+
+    t_ref[0] = jnp.where(best_code >= 0, best_t, BIG)
+    code_ref[0] = best_code
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _run_kernel_nodiff(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret):
+    """Selection kernel with an explicit zero-gradient rule.
+
+    pallas_call has no autodiff rule; this op is pure discrete selection
+    (winner index + its non-differentiable t), so its VJP is exactly zero —
+    the differentiable t/normal are recomputed outside (ops/fused.py).
+    """
+    return _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret)
+
+
+def _run_kernel_fwd(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret):
+    out = _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret)
+    return out, (ray_comps, packed_arrays)
+
+
+def _run_kernel_bwd(counts, tmin, backface_cull, interpret, residuals, _ct):
+    ray_comps, packed_arrays = residuals
+    return (
+        tuple(jnp.zeros_like(a) for a in ray_comps),
+        tuple(jnp.zeros_like(a) for a in packed_arrays),
+    )
+
+
+_run_kernel_nodiff.defvjp(_run_kernel_fwd, _run_kernel_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("counts", "tmin", "backface_cull", "interpret")
+)
+def _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret):
+    ox, oy, oz, dx, dy, dz, tm = ray_comps
+    sph, pla, tri = packed_arrays
+    n = ox.shape[0]
+    n_blocks = n // RAY_BLOCK
+    rows = RAY_BLOCK // 128
+
+    def reshape(a):
+        return a.reshape(n_blocks, rows, 128)
+
+    kern = functools.partial(
+        _intersect_kernel,
+        n_sph_tiles=sph.shape[1] // PRIM_TILE if counts[0] else 0,
+        n_pla_tiles=pla.shape[1] // PRIM_TILE if counts[1] else 0,
+        n_tri_tiles=tri.shape[1] // PRIM_TILE if counts[2] else 0,
+        tmin=tmin,
+        backface_cull=backface_cull,
+    )
+    ray_spec = pl.BlockSpec(
+        (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    prim_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array, all blocks
+    out_t, out_code = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[ray_spec] * 7 + [prim_spec] * 3,
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        reshape(ox), reshape(oy), reshape(oz),
+        reshape(dx), reshape(dy), reshape(dz), reshape(tm),
+        sph, pla, tri,
+    )
+    return out_t.reshape(n), out_code.reshape(n)
+
+
+def intersect_packed(rays, packed: PackedScene, tmin=EPSILON,
+                     backface_cull: bool = True, interpret: bool = False):
+    """Closest-hit over the packed scene. Returns (t, code) per ray;
+    code < 0 on miss, else type << 24 | prim index. Selection only — wrap
+    in stop_gradient and recompute shading differentiably outside.
+
+    Pads the ray count up to a RAY_BLOCK multiple internally.
+    """
+    n = rays.origin.shape[0]
+    n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
+
+    def pad(a):
+        return jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
+
+    comps = (
+        pad(rays.origin[:, 0]), pad(rays.origin[:, 1]), pad(rays.origin[:, 2]),
+        pad(rays.direction[:, 0] + 0.0), pad(rays.direction[:, 1]),
+        pad(rays.direction[:, 2]), pad(rays.time),
+    )
+    t, code = _run_kernel_nodiff(
+        comps,
+        (packed.spheres, packed.planes, packed.triangles),
+        packed.counts, float(tmin), bool(backface_cull), bool(interpret),
+    )
+    return t[:n], code[:n]

@@ -85,15 +85,12 @@ def orthonormal_basis(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return t0, t1
 
 
-def cosine_hemisphere(key, normal: jnp.ndarray) -> jnp.ndarray:
-    """Cosine-weighted direction about `normal` (CUDAPathTracer.cu:455-476).
-
-    Path B's diffuse bounce: phi=2*pi*u1, r=sqrt(u2),
-    d = t*cos(phi)*r + b*sin(phi)*r + n*sqrt(1-u2).
-    """
-    u = jax.random.uniform(key, (*normal.shape[:-1], 2), dtype=DTYPE)
-    phi = TWO_PI * u[..., 0]
-    r2 = u[..., 1]
+def cosine_hemisphere_from_uniforms(u1, u2, normal: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted direction about `normal` from two uniforms
+    (CUDAPathTracer.cu:455-476): phi=2*pi*u1, r=sqrt(u2),
+    d = t*cos(phi)*r + b*sin(phi)*r + n*sqrt(1-u2)."""
+    phi = TWO_PI * u1
+    r2 = u2
     r = jnp.sqrt(r2)
     t, b = orthonormal_basis(normal)
     return (
@@ -103,19 +100,30 @@ def cosine_hemisphere(key, normal: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def phong_lobe(key, axis: jnp.ndarray, exponent: jnp.ndarray) -> jnp.ndarray:
-    """Phong-lobe direction about `axis` with per-ray `exponent`.
+def cosine_hemisphere(key, normal: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted direction about `normal` (single-key convenience)."""
+    u = jax.random.uniform(key, (*normal.shape[:-1], 2), dtype=DTYPE)
+    return cosine_hemisphere_from_uniforms(u[..., 0], u[..., 1], normal)
+
+
+def phong_lobe_from_uniforms(u1, u2, axis: jnp.ndarray, exponent) -> jnp.ndarray:
+    """Phong-lobe direction about unit `axis` from two uniforms.
 
     Path B's METAL importance sample (CUDAPathTracer.cu:479-504):
     cos(alpha) = u1^(1/(exp+1)), phi = 2*pi*u2.
     """
-    u = jax.random.uniform(key, (*axis.shape[:-1], 2), dtype=DTYPE)
-    cos_a = jnp.power(u[..., 0], 1.0 / (exponent + 1.0))
+    cos_a = jnp.power(u1, 1.0 / (exponent + 1.0))
     sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
-    phi = TWO_PI * u[..., 1]
+    phi = TWO_PI * u2
     t, b = orthonormal_basis(axis)
     return (
         t * (jnp.cos(phi) * sin_a)[..., None]
         + b * (jnp.sin(phi) * sin_a)[..., None]
         + axis * cos_a[..., None]
     )
+
+
+def phong_lobe(key, axis: jnp.ndarray, exponent: jnp.ndarray) -> jnp.ndarray:
+    """Phong-lobe direction about `axis` (single-key convenience)."""
+    u = jax.random.uniform(key, (*axis.shape[:-1], 2), dtype=DTYPE)
+    return phong_lobe_from_uniforms(u[..., 0], u[..., 1], axis, exponent)

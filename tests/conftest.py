@@ -1,13 +1,14 @@
 """Test configuration: CPU backend with 8 virtual devices.
 
 Multi-chip sharding tests run on a virtual CPU mesh (the standard JAX way to
-test multi-device code without hardware); everything must be importable
-before jax initializes, hence the env setup at module import.
+test multi-device code without hardware). The environment's sitecustomize may
+import jax and pin the platform before conftest runs, so we use
+jax.config.update (valid until the first backend initialization) rather than
+JAX_PLATFORMS.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +17,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

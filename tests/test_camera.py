@@ -34,7 +34,7 @@ def test_frame_matches_reference_math():
 
 def test_center_ray_points_forward():
     frame = cam.derive(simple_camera(), aspect_ratio=1.0)
-    rays = cam.generate_rays(frame, jax.random.key(0), W, H)
+    rays, _ = cam.generate_rays(frame, jax.random.key(0), W, H)
     assert rays.origin.shape == (W * H, 3)
     d = np.asarray(rays.direction)
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
@@ -49,7 +49,7 @@ def test_center_ray_points_forward():
 
 def test_aperture_spreads_origins_within_lens_disk():
     frame = cam.derive(simple_camera(aperture=0.5), aspect_ratio=1.0)
-    rays = cam.generate_rays(frame, jax.random.key(1), W, H)
+    rays, _ = cam.generate_rays(frame, jax.random.key(1), W, H)
     o = np.asarray(rays.origin) - np.asarray([0, 0, 1.0])
     r = np.linalg.norm(o[:, :2], axis=1)
     assert r.max() <= 0.25 + 1e-6  # lensRadius = aperture/2 (Camera.h:112)
@@ -58,7 +58,7 @@ def test_aperture_spreads_origins_within_lens_disk():
 
 def test_shutter_times_in_range():
     frame = cam.derive(simple_camera(), aspect_ratio=1.0)
-    rays = cam.generate_rays(frame, jax.random.key(2), W, H)
+    rays, _ = cam.generate_rays(frame, jax.random.key(2), W, H)
     t = np.asarray(rays.time)
     assert (t >= 0.0).all() and (t < 1.0).all()
     assert t.std() > 0.1
@@ -74,7 +74,7 @@ def test_rays_differentiable_wrt_eye():
             focus_distance=2.0,
         )
         frame = cam.derive(camera, 1.0)
-        rays = cam.generate_rays(frame, jax.random.key(3), 4, 4)
+        rays, _ = cam.generate_rays(frame, jax.random.key(3), 4, 4)
         return jnp.mean(rays.direction[:, 0])
 
     g = jax.grad(mean_dir_x)(jnp.float32(0.0))

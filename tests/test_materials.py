@@ -42,7 +42,7 @@ def setup(kind, albedo=(0.8, 0.6, 0.2), param=0.0, n=1024, direction=(0, 0, -1),
 
 def test_lambertian_cosine_distribution():
     rays, hit, mat = setup(LAMBERTIAN, n=100_000)
-    s = scatter(jax.random.key(0), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(0), rays.origin.shape[0]), rays, hit, mat)
     d = np.asarray(s.direction)
     assert bool(np.all(np.asarray(s.scattered)))
     np.testing.assert_allclose(np.asarray(s.attenuation)[0], [0.8, 0.6, 0.2], atol=1e-6)
@@ -53,7 +53,7 @@ def test_lambertian_cosine_distribution():
 
 def test_metal_fuzz_zero_is_mirror():
     rays, hit, mat = setup(METAL, direction=(1, -1, 0), normal=(0, 1, 0), param=0.0, n=8)
-    s = scatter(jax.random.key(1), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(1), rays.origin.shape[0]), rays, hit, mat)
     want = np.asarray([1, 1, 0]) / np.sqrt(2)
     np.testing.assert_allclose(np.asarray(s.direction), np.tile(want, (8, 1)), atol=1e-5)
     assert bool(np.all(np.asarray(s.scattered)))
@@ -63,7 +63,7 @@ def test_metal_grazing_absorption():
     # With fuzz=1 and a grazing reflection, many samples go below the
     # surface -> absorbed (Material.h:48-50).
     rays, hit, mat = setup(METAL, direction=(1, -0.01, 0), param=1.0, n=50_000)
-    s = scatter(jax.random.key(2), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(2), rays.origin.shape[0]), rays, hit, mat)
     frac_absorbed = 1.0 - np.asarray(s.scattered).mean()
     assert 0.2 < frac_absorbed < 0.8
     # Absorbed rays carry zero attenuation.
@@ -78,7 +78,7 @@ def test_dielectric_total_internal_reflection():
         DIELECTRIC, param=1.5, direction=(1, -0.2, 0), normal=(0, 1, 0),
         front=False, n=16
     )
-    s = scatter(jax.random.key(3), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(3), rays.origin.shape[0]), rays, hit, mat)
     d = np.asarray(s.direction)
     mirror = np.asarray(
         linalg.reflect(linalg.normalize(rays.direction), hit.normal)
@@ -89,7 +89,7 @@ def test_dielectric_total_internal_reflection():
 
 def test_dielectric_head_on_mostly_refracts():
     rays, hit, mat = setup(DIELECTRIC, param=1.5, direction=(0, 0, -1), n=50_000)
-    s = scatter(jax.random.key(4), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(4), rays.origin.shape[0]), rays, hit, mat)
     d = np.asarray(s.direction)
     refracted = d[:, 2] < 0
     # Schlick at cos=1, eta 1/1.5: r0 = 0.04 -> ~4% reflect.
@@ -107,7 +107,7 @@ def test_schlick_values():
 
 def test_emission_terminates_with_scaled_albedo():
     rays, hit, mat = setup(EMISSION, albedo=(1.0, 0.5, 0.25), param=5.0, n=4)
-    s = scatter(jax.random.key(5), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(5), rays.origin.shape[0]), rays, hit, mat)
     assert not bool(np.any(np.asarray(s.scattered)))
     np.testing.assert_allclose(
         np.asarray(s.emitted), np.tile([5.0, 2.5, 1.25], (4, 1)), atol=1e-5
@@ -116,14 +116,14 @@ def test_emission_terminates_with_scaled_albedo():
 
 def test_specular_is_perfect_mirror():
     rays, hit, mat = setup(SPECULAR, direction=(1, -1, 0), normal=(0, 1, 0), n=4)
-    s = scatter(jax.random.key(6), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(6), rays.origin.shape[0]), rays, hit, mat)
     want = np.asarray([1, 1, 0]) / np.sqrt(2)
     np.testing.assert_allclose(np.asarray(s.direction), np.tile(want, (4, 1)), atol=1e-5)
 
 
 def test_phong_metal_concentrates_around_mirror():
     rays, hit, mat = setup(PHONG_METAL, direction=(0, -1, 0), normal=(0, 1, 0), param=20.0, n=50_000)
-    s = scatter(jax.random.key(7), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(7), rays.origin.shape[0]), rays, hit, mat)
     d = np.asarray(s.direction)
     # Mirror is +y; mean cos with mirror = 21/22 (pdf (n+1)cos^n).
     np.testing.assert_allclose(d[:, 1].mean(), 21 / 22, atol=5e-3)
@@ -131,7 +131,7 @@ def test_phong_metal_concentrates_around_mirror():
 
 def test_coat_mixes_specular_and_diffuse():
     rays, hit, mat = setup(COAT, albedo=(0.9, 0.3, 0.0), direction=(1, -1, 0), n=100_000)
-    s = scatter(jax.random.key(8), rays, hit, mat)
+    s = scatter(jax.random.split(jax.random.key(8), rays.origin.shape[0]), rays, hit, mat)
     att = np.asarray(s.attenuation)
     spec = np.all(att == 1.0, axis=1)
     # 5% specular probability (CUDAPathTracer.cu:526).
@@ -143,7 +143,7 @@ def test_albedo_gradient_flows():
     def mean_attenuation(albedo_r):
         rays, hit, mat = setup(LAMBERTIAN, n=8)
         mat = mat._replace(albedo=mat.albedo.at[:, 0].set(albedo_r))
-        s = scatter(jax.random.key(9), rays, hit, mat)
+        s = scatter(jax.random.split(jax.random.key(9), rays.origin.shape[0]), rays, hit, mat)
         return jnp.mean(s.attenuation[:, 0])
 
     g = jax.grad(mean_attenuation)(jnp.float32(0.5))

@@ -24,33 +24,35 @@ def run_bench(
     warmup: bool = True,
 ) -> dict:
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from raytracingthenextweekcuda_tpu.config import RenderConfig
     from raytracingthenextweekcuda_tpu.models import integrator, presets
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
 
     scene, camera = presets.cornell_box()
-    if use_bvh and scene.triangles.count:
-        try:
-            from raytracingthenextweekcuda_tpu.ops import bvh as bvh_mod
-
-            scene = scene._replace(bvh=bvh_mod.build_bvh(scene.triangles))
-        except ImportError:
-            pass
+    # finalize() packs the scene for the fused Pallas intersect kernel and
+    # auto-selects brute-vs-BVH for meshes (the Cornell cubes stay brute).
+    scene = finalize(scene)
 
     cfg = RenderConfig(
         width=width, height=height, spp=spp, bounces=bounces,
         spp_per_pass=spp_per_pass,
     )
 
+    def sync(x):
+        # block_until_ready can return before remote execution finishes on
+        # relayed backends; a scalar readback is a true sync.
+        np.asarray(jnp.sum(x))
+
     key = jax.random.key(cfg.seed)
     if warmup:  # compile outside the timed region (GPUTimer analogue)
-        integrator.render_pass(
-            scene, camera, key, cfg, cfg.passes()[0]
-        ).block_until_ready()
+        sync(integrator.render_pass(scene, camera, key, cfg, cfg.passes()[0]))
 
     t0 = time.perf_counter()
     film = integrator.render(scene, camera, cfg, key=key)
-    film.accum.block_until_ready()
+    sync(film.accum)
     dt = time.perf_counter() - t0
 
     paths = width * height * spp

@@ -56,10 +56,9 @@ def cmd_render(args) -> int:
         bounces=args.bounces, spp_per_pass=args.spp_per_pass,
         russian_roulette=args.russian_roulette, seed=args.seed,
     )
-    if args.bvh and scene.triangles.count:
-        from raytracingthenextweekcuda_tpu.ops import bvh as bvh_mod
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
 
-        scene = scene._replace(bvh=bvh_mod.build_bvh(scene.triangles))
+    scene = finalize(scene, use_bvh=True if args.bvh else None)
 
     print(
         f"rendering {cfg.width}x{cfg.height} spp={cfg.spp} bounces={cfg.bounces} "

@@ -155,8 +155,21 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
         )
         return (new_rays, new_throughput, radiance, cont), None
 
+    # Path A runs a fixed 10-bounce loop with per-thread early returns
+    # (main.cu:66-93); the wavefront equivalent skips a whole bounce once
+    # every ray has terminated. lax.cond (scalar predicate) executes only
+    # the taken branch at runtime, and — unlike lax.while_loop — stays
+    # reverse-mode differentiable for the inverse-rendering path.
+    def bounce_or_skip(state, bounce_idx):
+        return jax.lax.cond(
+            jnp.any(state[3]),
+            lambda s: bounce(s, bounce_idx)[0],
+            lambda s: s,
+            state,
+        ), None
+
     (_, _, radiance, _), _ = jax.lax.scan(
-        bounce, state, jnp.arange(cfg.bounces)
+        bounce_or_skip, state, jnp.arange(cfg.bounces)
     )
     return radiance
 

@@ -60,9 +60,14 @@ def finalize(scene: Scene, use_bvh: bool | None = None, bvh_threshold: int = 819
     if use_bvh is None:
         use_bvh = scene.triangles.count > bvh_threshold
     if use_bvh and scene.triangles.count >= 2:
+        from raytracingthenextweekcuda_tpu import native
         from raytracingthenextweekcuda_tpu.ops.bvh import build_bvh
 
-        scene = scene._replace(bvh=build_bvh(scene.triangles))
+        if native.available():
+            # Native binned-SAH: better tree quality, same array contract.
+            scene = scene._replace(bvh=native.build_sah_bvh(scene.triangles))
+        else:
+            scene = scene._replace(bvh=build_bvh(scene.triangles))
     return scene._replace(packed=pack_scene(scene))
 
 

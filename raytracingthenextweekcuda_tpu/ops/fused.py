@@ -2,11 +2,16 @@
 
 The kernel (ops/pallas/intersect_kernel.py) returns only the winning
 primitive code and a non-differentiable t. This module rebuilds the full
-Hit record from the winner's actual scene parameters — one small gather per
-ray, then the exact per-type math — so t and normal carry gradients wrt
-sphere centers/radii, plane positions and triangle vertices while the
-discrete winner selection stays fixed (the stop-gradient-the-selection rule,
-same as ops/traverse.py).
+Hit record from the winner's actual scene parameters, so t and normal carry
+gradients wrt sphere centers/radii, plane positions and triangle vertices
+while the discrete winner selection stays fixed (the
+stop-gradient-the-selection rule, same as ops/traverse.py).
+
+Winner parameter lookup uses one-hot matmuls (linalg.take_rows), not
+gathers: XLA lowers (N,)-row gathers to scalar loops on TPU (profiled at
+12.6 GB of HBM traffic for a Cornell-sized table), while one_hot @ table
+rides the MXU and its transpose is exactly the scatter-add the backward
+pass needs.
 """
 
 from __future__ import annotations
@@ -46,23 +51,32 @@ def intersect_scene_fused(
 
     # --- sphere winners: recompute the selected root differentiably ---
     if scene.spheres.count:
-        s_idx = jnp.clip(idx, 0, scene.spheres.count - 1)
-        c0 = scene.spheres.center0[s_idx]
-        c1 = scene.spheres.center1[s_idx]
-        w = (rays.time - scene.spheres.time0[s_idx]) / (
-            scene.spheres.time1[s_idx] - scene.spheres.time0[s_idx]
+        sph = scene.spheres
+        s_idx = jnp.where(ptype == TYPE_SPHERE, idx, 0)
+        # (S, 11) winner table: c0, c1, time0, time1, radius, material_id.
+        table = jnp.concatenate(
+            [
+                sph.center0, sph.center1,
+                sph.time0[:, None], sph.time1[:, None],
+                sph.radius[:, None],
+                sph.material_id.astype(dtype)[:, None],
+            ],
+            axis=1,
         )
+        row = linalg.take_rows(table, s_idx)
+        c0, c1 = row[:, 0:3], row[:, 3:6]
+        t0, t1, radius = row[:, 6], row[:, 7], row[:, 8]
+        w = (rays.time - t0) / (t1 - t0)
         center = c0 + w[:, None] * (c1 - c0)
-        radius = scene.spheres.radius[s_idx]
         oc = rays.origin - center
         a = linalg.length_squared(rays.direction)
         half_b = linalg.dot(oc, rays.direction)
         c = linalg.length_squared(oc) - radius * radius
         disc = jnp.maximum(half_b * half_b - a * c, 0.0)
-        sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0)) * jnp.where(disc > 0, 1.0, 0.0)
+        sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0)) * (disc > 0)
         r0 = (-half_b - sq) / a
         r1 = (-half_b + sq) / a
-        # The kernel already decided which root won; pick the one matching.
+        # The kernel already decided which root won; pick the matching one.
         pick0 = jnp.abs(r0 - t_sel) <= jnp.abs(r1 - t_sel)
         t_sph = jnp.where(pick0, r0, r1)
         n_sph = (rays.at(t_sph) - center) / radius[:, None]
@@ -70,29 +84,42 @@ def intersect_scene_fused(
         t = jnp.where(is_sph, t_sph, t)
         outward = jnp.where(is_sph[:, None], n_sph, outward)
         material_id = jnp.where(
-            is_sph, scene.spheres.material_id[s_idx], material_id
-        ).astype(jnp.int32)
+            is_sph, jnp.round(row[:, 9]).astype(jnp.int32), material_id
+        )
 
     # --- plane winners ---
     if scene.planes.count:
-        p_idx = jnp.clip(idx, 0, scene.planes.count - 1)
-        normal = scene.planes.normal[p_idx]
+        pla = scene.planes
+        p_idx = jnp.where(ptype == TYPE_PLANE, idx, 0)
+        table = jnp.concatenate(
+            [pla.position, pla.normal, pla.material_id.astype(dtype)[:, None]],
+            axis=1,
+        )
+        row = linalg.take_rows(table, p_idx)
+        position, normal = row[:, 0:3], row[:, 3:6]
         denom = linalg.dot(normal, rays.direction)
         denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
-        po = scene.planes.position[p_idx] - rays.origin
-        t_pla = linalg.dot(po, normal) / denom
+        t_pla = linalg.dot(position - rays.origin, normal) / denom
         is_pla = valid & (ptype == TYPE_PLANE)
         t = jnp.where(is_pla, t_pla, t)
         outward = jnp.where(is_pla[:, None], normal, outward)
         material_id = jnp.where(
-            is_pla, scene.planes.material_id[p_idx], material_id
-        ).astype(jnp.int32)
+            is_pla, jnp.round(row[:, 6]).astype(jnp.int32), material_id
+        )
 
     # --- triangle winners ---
     if scene.triangles.count:
-        t_idx = jnp.clip(idx, 0, scene.triangles.count - 1)
-        tv = scene.triangles.vertices[t_idx]
-        v0, e1, e2 = tv[:, 0], tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]
+        tri = scene.triangles
+        t_idx = jnp.where(ptype == TYPE_TRIANGLE, idx, 0)
+        T = tri.count
+        table = jnp.concatenate(
+            [tri.vertices.reshape(T, 9), tri.material_id.astype(dtype)[:, None]],
+            axis=1,
+        )
+        row = linalg.take_rows(table, t_idx)
+        v0 = row[:, 0:3]
+        e1 = row[:, 3:6] - v0
+        e2 = row[:, 6:9] - v0
         pvec = linalg.cross(rays.direction, e2)
         det = linalg.dot(e1, pvec)
         inv_det = 1.0 / jnp.where(jnp.abs(det) > FLT_EPSILON, det, 1.0)
@@ -103,8 +130,8 @@ def intersect_scene_fused(
         t = jnp.where(is_tri, t_tri, t)
         outward = jnp.where(is_tri[:, None], n_tri, outward)
         material_id = jnp.where(
-            is_tri, scene.triangles.material_id[t_idx], material_id
-        ).astype(jnp.int32)
+            is_tri, jnp.round(row[:, 9]).astype(jnp.int32), material_id
+        )
 
     front, normal = face_normal(rays.direction, outward)
     return Hit(

@@ -51,10 +51,28 @@ class Materials(NamedTuple):
         return self.kind.shape[0]
 
     def gather(self, material_id: jnp.ndarray) -> "Materials":
-        """Per-ray material rows; id<0 maps to row 0 (value unused there)."""
+        """Per-ray material rows; id<0 maps to row 0 (value unused there).
+
+        One-hot matmul instead of a gather: TPU-lowered gathers are scalar
+        loops, and the matmul transpose doubles as the scatter-add that
+        albedo/param gradients need (see linalg.take_rows).
+        """
+        from raytracingthenextweekcuda_tpu.ops.linalg import take_rows
+
         idx = jnp.maximum(material_id, 0)
+        table = jnp.concatenate(
+            [
+                self.albedo,
+                self.param[:, None],
+                self.kind.astype(self.albedo.dtype)[:, None],
+            ],
+            axis=1,
+        )
+        row = take_rows(table, idx)
         return Materials(
-            kind=self.kind[idx], albedo=self.albedo[idx], param=self.param[idx]
+            kind=jnp.round(row[:, 4]).astype(jnp.int32),
+            albedo=row[:, 0:3],
+            param=row[:, 3],
         )
 
 

@@ -7,6 +7,7 @@ with plain jnp ops over `(..., 3)` arrays — SoA, branchless, fusible by XLA.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -69,6 +70,28 @@ def refract(uv: jnp.ndarray, n: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndar
     pos = k > 0.0
     r_parallel_mag = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
     return r_out_perp - r_parallel_mag[..., None] * n
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather (table[idx]) as a one-hot matmul.
+
+    XLA lowers plain gathers to scalar loops on TPU (profiled: a (N,)-row
+    gather from a 24-row table cost GBs of HBM traffic); one_hot @ table
+    rides the MXU instead, and its transpose is the scatter-add that
+    gradients w.r.t. `table` need — so this is also the differentiable
+    gather used on the inverse-rendering path.
+
+    table: (K, D) float; idx: (N,) int (values assumed in range).
+    Returns (N, D).
+    """
+    k = table.shape[0]
+    onehot = jax.nn.one_hot(idx, k, dtype=table.dtype)
+    return jnp.dot(onehot, table, preferred_element_type=table.dtype)
+
+
+def take_scalar(column: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Scalar-per-row variant of take_rows for a (K,) column."""
+    return take_rows(column[:, None], idx)[:, 0]
 
 
 def rotate_y(v: jnp.ndarray, degrees) -> jnp.ndarray:

@@ -215,7 +215,10 @@ def _intersect_kernel(
                       prim_row(pla_ref, 5, j))
         denom = o1(dx) * nx + o1(dy) * ny + o1(dz) * nz
         two_sided = prim_row(pla_ref, 12, j) > 0.5
-        gate = jnp.where(two_sided, jnp.abs(denom) > EPSILON, denom > EPSILON)
+        # Boolean algebra, not select_n: Mosaic rejects select on i1 vectors.
+        gate = (two_sided & (jnp.abs(denom) > EPSILON)) | (
+            ~two_sided & (denom > EPSILON)
+        )
         inv_den = 1.0 / jnp.where(gate, denom, 1.0)
         pox = prim_row(pla_ref, 0, j) - o1(ox)
         poy = prim_row(pla_ref, 1, j) - o1(oy)

@@ -309,6 +309,125 @@ def _run_kernel_bwd(counts, tmin, backface_cull, interpret, residuals, _ct):
 _run_kernel_nodiff.defvjp(_run_kernel_fwd, _run_kernel_bwd)
 
 
+def _intersect_kernel_scalar(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    sph_ref, pla_ref, tri_ref,
+    t_ref, code_ref,
+    *, n_sph: int, n_pla: int, n_tri: int, tmin: float, backface_cull: bool,
+):
+    """Scalar-primitive variant for small scenes.
+
+    One primitive per inner step, its parameters read as scalars and
+    broadcast into (ROWS, 128) ray-block vector ops — zero padding waste
+    (the lane-tiled kernel pads every type to 128 columns, a 12x overhead
+    for the 32-primitive Cornell box; profiling showed that kernel at 84%
+    of the render pass). Work scales with the TRUE primitive count.
+    """
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tm_ref[0]
+    shape = ox.shape
+
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    best_code = jnp.full(shape, -1, jnp.int32)
+
+    def consider(valid, t, code_scalar, best_t, best_code):
+        win = valid & (t < best_t)
+        return (
+            jnp.where(win, t, best_t),
+            jnp.where(win, code_scalar, best_code),
+        )
+
+    def sphere_body(i, carry):
+        best_t, best_code = carry
+        w = (tm - sph_ref[6, i]) * sph_ref[7, i]
+        cx = sph_ref[0, i] + sph_ref[3, i] * w
+        cy = sph_ref[1, i] + sph_ref[4, i] * w
+        cz = sph_ref[2, i] + sph_ref[5, i] * w
+        r = sph_ref[8, i]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        a = dx * dx + dy * dy + dz * dz
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = half_b * half_b - a * c
+        ok = disc > FLT_EPSILON
+        sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+        inv_a = 1.0 / a
+        r0 = (-half_b - sq) * inv_a
+        r1 = (-half_b + sq) * inv_a
+        in0 = (r0 >= tmin) & (r0 <= best_t)
+        in1 = (r1 >= tmin) & (r1 <= best_t)
+        t = jnp.where(in0, r0, r1)
+        return consider(ok & (in0 | in1), t, (TYPE_SPHERE << 24) | i, best_t, best_code)
+
+    def plane_body(i, carry):
+        best_t, best_code = carry
+        nx, ny, nz = pla_ref[3, i], pla_ref[4, i], pla_ref[5, i]
+        denom = dx * nx + dy * ny + dz * nz
+        two_sided = pla_ref[12, i] > 0.5  # scalar, broadcasts into the gates
+        gate_two = jnp.abs(denom) > EPSILON
+        gate_one = denom > EPSILON
+        gate = (gate_two & two_sided) | (gate_one & jnp.logical_not(two_sided))
+        inv_den = 1.0 / jnp.where(gate, denom, 1.0)
+        t = ((pla_ref[0, i] - ox) * nx + (pla_ref[1, i] - oy) * ny
+             + (pla_ref[2, i] - oz) * nz) * inv_den
+        hx = ox + t * dx
+        hy = oy + t * dy
+        hz = oz + t * dz
+        inside = (
+            (hx > pla_ref[6, i]) & (hx < pla_ref[9, i])
+            & (hy > pla_ref[7, i]) & (hy < pla_ref[10, i])
+            & (hz > pla_ref[8, i]) & (hz < pla_ref[11, i])
+        )
+        valid = gate & inside & (t >= tmin) & (t < best_t)
+        return consider(valid, t, (TYPE_PLANE << 24) | i, best_t, best_code)
+
+    def tri_body(i, carry):
+        best_t, best_code = carry
+        e1x, e1y, e1z = tri_ref[3, i], tri_ref[4, i], tri_ref[5, i]
+        e2x, e2y, e2z = tri_ref[6, i], tri_ref[7, i], tri_ref[8, i]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        if backface_cull:
+            ok = det > FLT_EPSILON
+        else:
+            ok = jnp.abs(det) > FLT_EPSILON
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tx = ox - tri_ref[0, i]
+        ty = oy - tri_ref[1, i]
+        tz = oz - tri_ref[2, i]
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        valid = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > tmin) & (t < best_t)
+        )
+        return consider(valid, t, (TYPE_TRIANGLE << 24) | i, best_t, best_code)
+
+    carry = (best_t, best_code)
+    if n_sph:
+        carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+    if n_pla:
+        carry = jax.lax.fori_loop(0, n_pla, plane_body, carry)
+    if n_tri:
+        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+    best_t, best_code = carry
+
+    t_ref[0] = jnp.where(best_code >= 0, best_t, BIG)
+    code_ref[0] = best_code
+
+
+# Below this primitive count the scalar-prim kernel (zero padding waste)
+# wins; above it the lane-tiled kernel amortizes better.
+SCALAR_KERNEL_MAX_PRIMS = 2048
+
+
 @functools.partial(
     jax.jit, static_argnames=("counts", "tmin", "backface_cull", "interpret")
 )
@@ -322,18 +441,30 @@ def _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret
     def reshape(a):
         return a.reshape(n_blocks, rows, 128)
 
-    kern = functools.partial(
-        _intersect_kernel,
-        n_sph_tiles=sph.shape[1] // PRIM_TILE if counts[0] else 0,
-        n_pla_tiles=pla.shape[1] // PRIM_TILE if counts[1] else 0,
-        n_tri_tiles=tri.shape[1] // PRIM_TILE if counts[2] else 0,
-        tmin=tmin,
-        backface_cull=backface_cull,
-    )
+    scalar_variant = sum(counts) <= SCALAR_KERNEL_MAX_PRIMS
+    if scalar_variant:
+        kern = functools.partial(
+            _intersect_kernel_scalar,
+            n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
+            tmin=tmin, backface_cull=backface_cull,
+        )
+    else:
+        kern = functools.partial(
+            _intersect_kernel,
+            n_sph_tiles=sph.shape[1] // PRIM_TILE if counts[0] else 0,
+            n_pla_tiles=pla.shape[1] // PRIM_TILE if counts[1] else 0,
+            n_tri_tiles=tri.shape[1] // PRIM_TILE if counts[2] else 0,
+            tmin=tmin,
+            backface_cull=backface_cull,
+        )
     ray_spec = pl.BlockSpec(
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    prim_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array, all blocks
+    # Scalar-prim kernel reads primitives one scalar at a time with dynamic
+    # indices -> SMEM; the lane-tiled kernel streams 128-wide tiles -> VMEM.
+    prim_spec = pl.BlockSpec(
+        memory_space=pltpu.SMEM if scalar_variant else pltpu.VMEM
+    )
     out_t, out_code = pl.pallas_call(
         kern,
         grid=(n_blocks,),

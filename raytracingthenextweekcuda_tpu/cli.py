@@ -36,6 +36,7 @@ def _build_scene(args):
         "rtiow-final": presets.rtiow_final,
         "sphere-plane": presets.diffuse_sphere_plane,
         "mesh": presets.mesh_showcase,
+        "smallpt": presets.smallpt_spheres,
     }
     if name not in table:
         raise SystemExit(f"unknown preset '{name}' (choose from {sorted(table)})")
@@ -64,6 +65,21 @@ def cmd_render(args) -> int:
         f"rendering {cfg.width}x{cfg.height} spp={cfg.spp} bounces={cfg.bounces} "
         f"on {jax.devices()[0].platform}", file=sys.stderr,
     )
+    if args.shards > 1:
+        from raytracingthenextweekcuda_tpu.parallel.mesh import make_mesh
+        from raytracingthenextweekcuda_tpu.parallel.render import render_sharded
+
+        mesh = make_mesh(args.shards)
+        t0 = time.perf_counter()
+        film = render_sharded(scene, camera, cfg, mesh)
+        film.accum.block_until_ready()
+        write_png(args.out, to_image(film))
+        print(
+            f"rendered on {mesh.size} shards in "
+            f"{(time.perf_counter() - t0) * 1000:.1f} ms -> {args.out}",
+            file=sys.stderr,
+        )
+        return 0
     if args.progressive:
         film = Film.create(cfg.width, cfg.height)
         key = jax.random.key(cfg.seed)
@@ -109,8 +125,23 @@ def cmd_fit(args) -> int:
     return run_fit(steps=args.steps, out=args.out)
 
 
+def _apply_platform(platform: str | None) -> None:
+    """Select the JAX backend. Some environments pin JAX_PLATFORMS via
+    sitecustomize before user code runs, so an env var is not enough — we
+    must set the config directly (before first backend use)."""
+    import os
+
+    platform = platform or os.environ.get("RTNW_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rtnw", description=__doc__)
+    p.add_argument("--platform", help="JAX backend override (cpu/tpu/...); "
+                   "also honored from $RTNW_PLATFORM")
     sub = p.add_subparsers(dest="command", required=True)
 
     pr = sub.add_parser("render", help="render a scene to PNG")
@@ -124,6 +155,8 @@ def main(argv=None) -> int:
     pr.add_argument("--seed", type=int, default=1984)
     pr.add_argument("--out", default="render.png")
     pr.add_argument("--bvh", action="store_true", help="build LBVH over meshes")
+    pr.add_argument("--shards", type=int, default=1,
+                    help="shard the render over N devices (tile data-parallel)")
     pr.add_argument("--russian-roulette", action="store_true")
     pr.add_argument("--progressive", action="store_true",
                     help="write the PNG after every pass (realtime-frontend analogue)")
@@ -142,6 +175,7 @@ def main(argv=None) -> int:
     pf.set_defaults(fn=cmd_fit)
 
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
     return args.fn(args)
 
 

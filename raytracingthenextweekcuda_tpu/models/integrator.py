@@ -126,6 +126,12 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
         radiance = radiance + jnp.where(
             terminal[..., None], throughput * scat.emitted, 0.0
         )
+        # Path B additive emission: every hit releases mask*emit and the
+        # path continues (CUDAPathTracer.cu:430,449). Zero for Path A
+        # materials, so this is free there.
+        radiance = radiance + jnp.where(
+            (alive & hit.valid)[..., None], throughput * mat.emission, 0.0
+        )
 
         cont = alive & hit.valid & scat.scattered
         new_throughput = jnp.where(

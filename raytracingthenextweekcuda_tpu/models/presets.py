@@ -143,6 +143,39 @@ def rtiow_final(seed: int = 0) -> tuple[Scene, Camera]:
     return b.build(), camera
 
 
+def smallpt_spheres(with_mesh: bool = False) -> tuple[Scene, Camera]:
+    """Path B's hard-coded device sphere array (CUDAPathTracer.cu:94-121):
+    emissive sun, sky dome, double-shell ground (COAT over DIFFUSE),
+    horizon brightener, specular mirror ball. These spheres emit additively
+    and keep scattering — the Path B material model. Optionally adds the
+    materialball-style mesh (a procedural stand-in) with COAT, mirroring
+    prepareCUDAscene's PLY load (main.cu:428-430)."""
+    b = SceneBuilder()
+    # id: (kind factory, albedo/color, emission)
+    b.material(0, 0, (0.0, 0.0, 0.0), 0.0, emission=(6.0, 4.0, 2.0))      # sun
+    b.material(1, 0, (0.175, 0.175, 0.25), 0.0, emission=(0.51, 0.51, 0.51))  # sky
+    b.coat(2, (0.5, 0.0, 0.0))                                            # ground shell
+    b.lambertian(3, (0.3, 0.3, 0.3))                                      # under-shell
+    b.material(4, 0, (0.0, 0.0, 0.0), 0.0, emission=(3.6, 2.0, 0.2))      # horizon
+    b.specular(5, (0.9, 0.9, 0.9))                                        # mirror
+    b.coat(6, (0.9, 0.3, 0.0))                                            # mesh
+
+    b.sphere((0.0, 2.8, 0.0), 1.6, 0)
+    b.sphere((50.0, 40.8, -1060.0), 10000.0, 1)
+    b.sphere((0.0, -100001.1, 0.0), 100000.0, 2)
+    b.sphere((0.0, -100001.2, 0.0), 100000.0, 3)
+    b.sphere((50.0, -110048.5, 0.0), 110000.0, 4)
+    b.sphere((1.6, 0.0, 1.0), 1.1, 5)
+    if with_mesh:
+        b.mesh(uv_sphere_mesh(0.8, (-1.5, -0.2, -1.0), 16, 32), 6)
+
+    camera = Camera.make(
+        eye=(0.0, 0.2, 4.0), center=(0.0, 0.2, -1.0), fov=60.0,
+        aperture=0.0, focus_distance=5.0, time1=1.0,
+    )
+    return b.build(), camera
+
+
 def mesh_showcase(n_lat: int = 24, n_lon: int = 48) -> tuple[Scene, Camera]:
     """Procedural stand-in for the bunny/materialball BVH config: a dense
     UV-sphere mesh under the Cornell light, for mesh/BVH benchmarking without

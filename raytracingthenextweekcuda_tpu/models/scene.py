@@ -84,11 +84,18 @@ class SceneBuilder:
         self._mesh_count = 0
 
     # -- materials (create*Material factories, kernels.h:50-84) --------
-    def material(self, material_id: int, kind: int, albedo=(0.0, 0.0, 0.0), param: float = 0.0) -> int:
+    def material(self, material_id: int, kind: int, albedo=(0.0, 0.0, 0.0),
+                 param: float = 0.0, emission=(0.0, 0.0, 0.0)) -> int:
         """Register material row `material_id`; first definition wins
-        (mirrors the YAML loader's create-if-null, main.cu:710-747)."""
+        (mirrors the YAML loader's create-if-null, main.cu:710-747).
+
+        `emission` is additive per-hit radiance (Path B's sphere `emi`,
+        CUDAPathTracer.cu:430) — the path keeps bouncing after emitting.
+        """
         if material_id not in self._materials:
-            self._materials[material_id] = (kind, tuple(albedo), float(param))
+            self._materials[material_id] = (
+                kind, tuple(albedo), float(param), tuple(emission)
+            )
         return material_id
 
     def lambertian(self, material_id: int, albedo) -> int:
@@ -111,6 +118,10 @@ class SceneBuilder:
 
     def coat(self, material_id: int, albedo) -> int:
         return self.material(material_id, geom.COAT, albedo)
+
+    def refraction(self, material_id: int, ior: float = 1.5) -> int:
+        """Path B smallpt-style glass (CUDAPathTracer.cu:566-614)."""
+        return self.material(material_id, geom.REFRACTION, (1.0, 1.0, 1.0), ior)
 
     # -- primitives -----------------------------------------------------
     def sphere(self, center, radius: float, material_id: int) -> None:
@@ -210,12 +221,14 @@ class SceneBuilder:
             kind = np.zeros((max_id,), np.int32)
             albedo = np.zeros((max_id, 3), np.float32)
             param = np.zeros((max_id,), np.float32)
-            for mid, (k, a, p) in self._materials.items():
-                kind[mid], albedo[mid], param[mid] = k, a, p
+            emission = np.zeros((max_id, 3), np.float32)
+            for mid, (k, a, p, e) in self._materials.items():
+                kind[mid], albedo[mid], param[mid], emission[mid] = k, a, p, e
             materials = Materials(
                 kind=jnp.asarray(kind),
                 albedo=jnp.asarray(albedo, DTYPE),
                 param=jnp.asarray(param, DTYPE),
+                emission=jnp.asarray(emission, DTYPE),
             )
         else:
             materials = geom.empty_materials()

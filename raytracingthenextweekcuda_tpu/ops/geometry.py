@@ -30,21 +30,27 @@ EMISSION = 3
 PHONG_METAL = 4   # Path B METAL: Phong lobe, exponent in `param`
 SPECULAR = 5      # Path B SPECULAR: perfect mirror
 COAT = 6          # Path B COAT: 5% specular else diffuse
-NUM_MATERIAL_KINDS = 7
+REFRACTION = 7    # Path B REFRACTION: smallpt-style glass with RP/TP weights
+NUM_MATERIAL_KINDS = 8
 
 
 class Materials(NamedTuple):
     """Material table (M rows). Per-kind meaning of `param`:
 
     METAL: fuzz (Material.h:40-41, clamped to <=1 at build);
-    DIELECTRIC: index of refraction (Material.h:60);
+    DIELECTRIC / REFRACTION: index of refraction (Material.h:60);
     EMISSION: intensity (Material.h:114);
     PHONG_METAL: Phong exponent (CUDAPathTracer.cu:488 uses 20).
+
+    `emission` is Path B's *additive* per-hit radiance (`accucolor +=
+    mask*emit` then keep bouncing, CUDAPathTracer.cu:430,449) — orthogonal
+    to the terminating EMISSION kind (Path A, Material.h:120-123).
     """
 
-    kind: jnp.ndarray    # (M,) int32
-    albedo: jnp.ndarray  # (M, 3)
-    param: jnp.ndarray   # (M,)
+    kind: jnp.ndarray      # (M,) int32
+    albedo: jnp.ndarray    # (M, 3)
+    param: jnp.ndarray     # (M,)
+    emission: jnp.ndarray  # (M, 3) additive emission (Path B style)
 
     @property
     def count(self) -> int:
@@ -65,6 +71,7 @@ class Materials(NamedTuple):
                 self.albedo,
                 self.param[:, None],
                 self.kind.astype(self.albedo.dtype)[:, None],
+                self.emission,
             ],
             axis=1,
         )
@@ -73,6 +80,7 @@ class Materials(NamedTuple):
             kind=jnp.round(row[:, 4]).astype(jnp.int32),
             albedo=row[:, 0:3],
             param=row[:, 3],
+            emission=row[:, 5:8],
         )
 
 
@@ -178,4 +186,5 @@ def empty_materials() -> Materials:
         kind=jnp.zeros((1,), jnp.int32),
         albedo=jnp.zeros((1, 3), DTYPE),
         param=jnp.zeros((1,), DTYPE),
+        emission=jnp.zeros((1, 3), DTYPE),
     )

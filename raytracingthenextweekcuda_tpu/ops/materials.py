@@ -36,6 +36,7 @@ from raytracingthenextweekcuda_tpu.ops.geometry import (
     LAMBERTIAN,
     METAL,
     PHONG_METAL,
+    REFRACTION,
     SPECULAR,
     Materials,
 )
@@ -79,25 +80,48 @@ def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
         phi = 2.0 * jnp.pi * u2
         return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
-    # --- Lambertian: normal + uniform unit vector, degenerate-guarded
-    # (Material.cu:5-16). The sum is cosine-distributed.
-    lamb_raw = normal + u_unit_vector(u[:, 0], u[:, 1])
-    lamb_dir = jnp.where(
-        linalg.near_zero(lamb_raw)[..., None], normal, lamb_raw
-    )
-    lamb_dir = linalg.normalize(lamb_dir)
-
     # NOTE on guards below: every kind's expression is evaluated for every
     # ray and blended by masks, so unselected branches MUST stay finite —
     # a NaN primal in a dead branch still poisons reverse-mode AD through
     # the 0-cotangent x NaN-partial product (the classic double-where rule).
+
+    # ONE shared azimuth pair: transcendentals are the VPU's priciest ops
+    # (profiled ~20% of a render pass when every sampler drew its own
+    # cos/sin). Material kinds are exclusive per ray, so all lobes share
+    # u1's cos/sin and differ only in polar shape + frame.
+    phi = 2.0 * jnp.pi * u[:, 1]
+    cos_phi = jnp.cos(phi)
+    sin_phi = jnp.sin(phi)
+
+    def azimuth_vec(z):
+        """World-frame unit vector with height z and the shared azimuth."""
+        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        return jnp.stack([r * cos_phi, r * sin_phi, z], axis=-1)
+
+    def frame_lobe(axis, cos_theta):
+        """cos_theta-polar lobe about unit `axis` with the shared azimuth."""
+        t, b = sampling.orthonormal_basis(axis)
+        sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+        return (
+            t * (cos_phi * sin_theta)[..., None]
+            + b * (sin_phi * sin_theta)[..., None]
+            + axis * cos_theta[..., None]
+        )
+
+    # --- Lambertian: normal + uniform unit vector, degenerate-guarded
+    # (Material.cu:5-16). The sum is cosine-distributed.
+    lamb_raw = normal + azimuth_vec(1.0 - 2.0 * u[:, 0])
+    lamb_dir = jnp.where(
+        linalg.near_zero(lamb_raw)[..., None], normal, lamb_raw
+    )
+    lamb_dir = linalg.normalize(lamb_dir)
 
     # --- Metal: mirror + fuzz * in-unit-sphere; absorbed if the perturbed
     # ray leaves below the surface (Material.h:45-51).
     mirror = linalg.reflect(unit_dir, normal)
     fuzz = jnp.minimum(mat.param, 1.0)  # constructor clamp (Material.h:41)
     # max() guards cbrt's infinite slope at exactly 0.
-    ball = u_unit_vector(u[:, 2], u[:, 3]) * jnp.cbrt(jnp.maximum(u[:, 4], 1e-12))[..., None]
+    ball = azimuth_vec(1.0 - 2.0 * u[:, 2]) * jnp.cbrt(jnp.maximum(u[:, 4], 1e-12))[..., None]
     metal_raw = mirror + fuzz[..., None] * ball
     metal_ok = linalg.dot(metal_raw, normal) > 0.0
     metal_dir = linalg.normalize(jnp.where(metal_ok[..., None], metal_raw, mirror))
@@ -123,21 +147,50 @@ def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
     # --- Phong metal (Path B METAL, CUDAPathTracer.cu:479-504): lobe around
     # the mirror direction, exponent from `param` (reference hard-codes 20).
     # u clamped away from 0: pow's derivative at 0 is infinite.
-    phong_dir = sampling.phong_lobe_from_uniforms(
-        jnp.maximum(u[:, 6], 1e-12), u[:, 7], linalg.normalize(mirror),
-        jnp.maximum(mat.param, 0.0),
+    phong_cos = jnp.power(
+        jnp.maximum(u[:, 6], 1e-12), 1.0 / (jnp.maximum(mat.param, 0.0) + 1.0)
     )
+    phong_dir = frame_lobe(linalg.normalize(mirror), phong_cos)
 
     # --- Coat (CUDAPathTracer.cu:522-563): 5% specular (white) else diffuse
-    # cosine lobe about the oriented normal.
+    # cosine lobe about the oriented normal: cos(theta) = sqrt(1 - u).
     coat_spec = jax.lax.stop_gradient(u[:, 8] < 0.05)
-    coat_diff_dir = sampling.cosine_hemisphere_from_uniforms(
-        u[:, 6], u[:, 7], normal
+    coat_diff_dir = frame_lobe(
+        normal, jnp.sqrt(jnp.maximum(0.0, 1.0 - u[:, 6]))
     )
     coat_dir = jnp.where(coat_spec[..., None], mirror, coat_diff_dir)
     coat_atten = jnp.where(
         coat_spec[..., None], jnp.ones_like(mat.albedo), mat.albedo
     )
+
+    # --- smallpt refraction (Path B REFRACTION, CUDAPathTracer.cu:566-614):
+    # TIR reflect; else Fresnel-weighted choice between reflection and
+    # transmission with RP = Re/P, TP = Tr/(1-P) throughput weights.
+    # Two deliberate divergences from the reference, both documented bugs
+    # there: we use R0 = ((nt-nc)/(nt+nc))^2 (the reference's operator
+    # precedence yields (nt-nc)^2, CUDAPathTracer.cu:590) and we draw the
+    # branch with probability P (the reference compares against a fixed
+    # 0.25 while weighting by P, CUDAPathTracer.cu:598).
+    nt = jnp.where((mat.kind == REFRACTION) & (mat.param > 0), mat.param, 1.5)
+    nnt = jnp.where(hit.front_face, 1.0 / nt, nt)
+    ddn = linalg.dot(unit_dir, normal)  # negative (normal opposes the ray)
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0.0
+    tdir = linalg.normalize(
+        linalg.refract(unit_dir, normal, nnt)
+    )
+    r0 = ((nt - 1.0) / (nt + 1.0)) ** 2
+    c1m = 1.0 - jnp.where(hit.front_face, -ddn, linalg.dot(tdir, normal))
+    re = r0 + (1.0 - r0) * c1m**5
+    prob = 0.25 + 0.5 * re
+    choose_refl = jax.lax.stop_gradient(tir | (u[:, 5] < prob))
+    refr_dir = jnp.where(
+        choose_refl[..., None], linalg.normalize(mirror), tdir
+    )
+    refr_weight = jnp.where(
+        tir, 1.0, jnp.where(choose_refl, re / prob, (1.0 - re) / (1.0 - prob))
+    )
+    refr_atten = mat.albedo * refr_weight[..., None]
 
     kind = mat.kind
 
@@ -150,6 +203,7 @@ def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
     direction = jnp.where(is_kind(PHONG_METAL)[..., None], phong_dir, direction)
     direction = jnp.where(is_kind(SPECULAR)[..., None], linalg.normalize(mirror), direction)
     direction = jnp.where(is_kind(COAT)[..., None], coat_dir, direction)
+    direction = jnp.where(is_kind(REFRACTION)[..., None], refr_dir, direction)
 
     white = jnp.ones_like(mat.albedo)
     attenuation = mat.albedo
@@ -161,6 +215,7 @@ def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
     )
     attenuation = jnp.where(is_kind(DIELECTRIC)[..., None], white, attenuation)
     attenuation = jnp.where(is_kind(COAT)[..., None], coat_atten, attenuation)
+    attenuation = jnp.where(is_kind(REFRACTION)[..., None], refr_atten, attenuation)
 
     scattered = ~is_kind(EMISSION) & ~(is_kind(METAL) & ~metal_ok)
 

@@ -36,6 +36,7 @@ def setup(kind, albedo=(0.8, 0.6, 0.2), param=0.0, n=1024, direction=(0, 0, -1),
         kind=jnp.full((n,), kind, jnp.int32),
         albedo=jnp.tile(jnp.asarray([albedo], jnp.float32), (n, 1)),
         param=jnp.full((n,), param, jnp.float32),
+        emission=jnp.zeros((n, 3), jnp.float32),
     )
     return rays, hit, mat
 

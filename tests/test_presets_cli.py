@@ -61,7 +61,7 @@ def test_mesh_showcase_scene():
 
 def test_cli_render_end_to_end(tmp_path):
     out = str(tmp_path / "out.png")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, RTNW_PLATFORM="cpu")
     proc = subprocess.run(
         [
             sys.executable, "-m", "raytracingthenextweekcuda_tpu.cli", "render",
@@ -80,7 +80,7 @@ def test_cli_render_end_to_end(tmp_path):
 
 def test_cli_render_yaml_scene(tmp_path):
     out = str(tmp_path / "cornell.png")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, RTNW_PLATFORM="cpu")
     proc = subprocess.run(
         [
             sys.executable, "-m", "raytracingthenextweekcuda_tpu.cli", "render",

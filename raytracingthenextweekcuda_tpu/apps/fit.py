@@ -64,9 +64,9 @@ def run_fit(
     true_albedos = jnp.asarray([[0.8, 0.2, 0.2], [0.2, 0.3, 0.8]], jnp.float32)
 
     key = jax.random.key(seed)
-    target = integrator.render_pass(
+    target = integrator.render_gbuffer(
         _make_scene(true_centers, true_albedos), camera, key, cfg, spp
-    ) / spp
+    )
 
     params = {
         "centers": jnp.asarray([[-0.2, 0.1, 0.1], [0.25, -0.05, 0.0]], jnp.float32),
@@ -75,10 +75,32 @@ def run_fit(
 
     @jax.jit
     def loss_fn(params, k):
-        img = integrator.render_pass(
+        """Radiance + G-buffer loss.
+
+        Radiance MSE alone cannot move geometry: with fixed-topology
+        gradients and diffuse materials, pixel radiance is a product of
+        albedos — its derivative wrt sphere centers is exactly zero (the
+        silhouette term is a visibility discontinuity). Depth and normal
+        AOVs are continuous in geometry inside the silhouette, so they
+        carry the position signal; albedo AOV pins colors.
+        """
+        g = integrator.render_gbuffer(
             _make_scene(params["centers"], params["albedos"]), camera, k, cfg, spp
-        ) / spp
-        return jnp.mean((img - target) ** 2)
+        )
+        both_hit = jax.lax.stop_gradient(
+            (g["hit_mask"] > 0.5) & (target["hit_mask"] > 0.5)
+        )
+        rad = jnp.mean((g["radiance"] / spp - target["radiance"] / spp) ** 2)
+        depth = jnp.mean(
+            jnp.where(both_hit, (g["depth"] - target["depth"]) ** 2, 0.0)
+        )
+        normal = jnp.mean(
+            jnp.where(both_hit[..., None], (g["normal"] - target["normal"]) ** 2, 0.0)
+        )
+        albedo = jnp.mean(
+            jnp.where(both_hit[..., None], (g["albedo"] - target["albedo"]) ** 2, 0.0)
+        )
+        return rad + 0.5 * depth + 0.2 * normal + 0.5 * albedo
 
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
@@ -116,6 +138,6 @@ def run_fit(
     final = integrator.render_pass(
         _make_scene(params["centers"], params["albedos"]), camera, key, cfg, spp
     ) / spp
-    side = jnp.concatenate([target, final], axis=1)
+    side = jnp.concatenate([target["radiance"] / spp, final], axis=1)
     write_png(out, np.asarray(tonemap_u8(side))[::-1])
     return 0 if final_loss < loss0 * 0.5 else 1

@@ -95,6 +95,19 @@ def cmd_render(args) -> int:
                 f"  pass {i}: {int(film.sample_count)} spp, "
                 f"{time.perf_counter() - t0:.2f}s -> {args.out}", file=sys.stderr,
             )
+    elif args.checkpoint:
+        from raytracingthenextweekcuda_tpu.models.checkpoint import render_resumable
+
+        t0 = time.perf_counter()
+        film = render_resumable(scene, camera, cfg, args.checkpoint)
+        film.accum.block_until_ready()
+        write_png(args.out, to_image(film))
+        print(
+            f"rendered (resumable via {args.checkpoint}) in "
+            f"{(time.perf_counter() - t0) * 1000:.1f} ms -> {args.out}",
+            file=sys.stderr,
+        )
+        return 0
     else:
         t0 = time.perf_counter()
         film = integrator.render(scene, camera, cfg)
@@ -160,6 +173,9 @@ def main(argv=None) -> int:
     pr.add_argument("--russian-roulette", action="store_true")
     pr.add_argument("--progressive", action="store_true",
                     help="write the PNG after every pass (realtime-frontend analogue)")
+    pr.add_argument("--checkpoint", metavar="PATH",
+                    help="checkpoint film state here after each pass; resumes "
+                         "automatically if the file exists and is fresh")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("bench", help="run the headline benchmark, print one JSON line")

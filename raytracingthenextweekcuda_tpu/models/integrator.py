@@ -113,7 +113,9 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
 
         hit = intersect_scene(scene, rays_b, cfg.tmin, INFINITY)
         mat = scene.materials.gather(hit.material_id)
-        scat = scatter(bkeys, rays_b, hit, mat)
+        # Static kind set (recorded at pack time) prunes absent BSDF branches.
+        used_kinds = getattr(scene.packed, "used_kinds", None)
+        scat = scatter(bkeys, rays_b, hit, mat, used_kinds)
 
         if cfg.sky_background:
             sky = sky_color(rays_b.direction)
@@ -199,6 +201,56 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
     accum = jnp.zeros((cfg.num_pixels, 3), frame.origin.dtype)
     accum, _ = jax.lax.scan(one_sample, accum, sample_keys)
     return accum.reshape(cfg.height, cfg.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "samples"))
+def render_gbuffer(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig, samples: int):
+    """Render radiance + geometry AOVs (depth, normal, primary albedo).
+
+    The G-buffer quantities are continuous functions of scene geometry,
+    which makes them the practical inverse-rendering signal for *positions*:
+    fixed-topology radiance gradients w.r.t. geometry are exactly zero in
+    purely-diffuse scenes (radiance = product of albedos; geometry only
+    selects the discrete path), so `fit` losses combine radiance with depth
+    and normal terms. Also a standard denoiser/compositing feature.
+
+    Returns dict with radiance (H,W,3) summed over samples, and
+    sample-averaged depth (H,W), normal (H,W,3), albedo (H,W,3),
+    hit_mask (H,W).
+    """
+    frame = camera_mod.derive(camera, cfg.aspect_ratio)
+    sample_keys = jax.random.split(key, samples)
+    n = cfg.num_pixels
+
+    def one_sample(accum, skey):
+        rays, ray_keys = camera_mod.generate_rays(frame, skey, cfg.width, cfg.height)
+        hit = intersect_scene(scene, rays, cfg.tmin, INFINITY)
+        mat = scene.materials.gather(hit.material_id)
+        depth = jnp.where(hit.valid, hit.t, 0.0)
+        radiance = trace(scene, rays, ray_keys, cfg)
+        acc_rad, acc_depth, acc_norm, acc_alb, acc_mask = accum
+        return (
+            acc_rad + radiance,
+            acc_depth + depth,
+            acc_norm + hit.normal,
+            acc_alb + jnp.where(hit.valid[:, None], mat.albedo, 0.0),
+            acc_mask + hit.valid.astype(jnp.float32),
+        ), None
+
+    init = (
+        jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.zeros((n, 3)),
+        jnp.zeros((n, 3)), jnp.zeros((n,)),
+    )
+    (rad, depth, norm, alb, mask), _ = jax.lax.scan(one_sample, init, sample_keys)
+    shape2 = (cfg.height, cfg.width)
+    inv = 1.0 / samples
+    return {
+        "radiance": rad.reshape(*shape2, 3),
+        "depth": (depth * inv).reshape(shape2),
+        "normal": (norm * inv).reshape(*shape2, 3),
+        "albedo": (alb * inv).reshape(*shape2, 3),
+        "hit_mask": (mask * inv).reshape(shape2),
+    }
 
 
 def render(scene: Scene, camera: camera_mod.Camera, cfg: RenderConfig, key=None) -> Film:

@@ -59,15 +59,21 @@ def schlick(cosine: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndarray:
     return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
 
 
-def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
-    """Evaluate all material kinds for all rays and blend by `mat.kind`.
+def scatter(keys, rays: Rays, hit: Hit, mat: Materials,
+            used_kinds: tuple | None = None) -> Scatter:
+    """Evaluate the present material kinds for all rays, blend by `mat.kind`.
 
     `keys` is a per-ray key array (counter-based, see
     camera.per_pixel_keys) so scatter randomness is a pure function of
     (seed, pass, pixel, bounce) — device-placement independent.
     `mat` holds per-ray material rows (already gathered by id). Rows for
     missed rays are garbage; callers mask by `hit.valid`.
+    `used_kinds` is the STATIC set of kinds present in the scene (recorded
+    by pack_scene); branches for absent kinds compile to nothing. None
+    means all kinds.
     """
+    def _use(k):
+        return used_kinds is None or k in used_kinds
     # 9 uniforms per ray cover every kind's draws.
     u = jax.vmap(lambda k: jax.random.uniform(k, (9,), dtype=rays.origin.dtype))(keys)
     unit_dir = linalg.normalize(rays.direction)
@@ -110,58 +116,64 @@ def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
 
     # --- Lambertian: normal + uniform unit vector, degenerate-guarded
     # (Material.cu:5-16). The sum is cosine-distributed.
-    lamb_raw = normal + azimuth_vec(1.0 - 2.0 * u[:, 0])
-    lamb_dir = jnp.where(
-        linalg.near_zero(lamb_raw)[..., None], normal, lamb_raw
-    )
-    lamb_dir = linalg.normalize(lamb_dir)
+    if _use(LAMBERTIAN):
+        lamb_raw = normal + azimuth_vec(1.0 - 2.0 * u[:, 0])
+        lamb_dir = linalg.normalize(
+            jnp.where(linalg.near_zero(lamb_raw)[..., None], normal, lamb_raw)
+        )
+    else:
+        lamb_dir = normal  # inert default
 
     # --- Metal: mirror + fuzz * in-unit-sphere; absorbed if the perturbed
     # ray leaves below the surface (Material.h:45-51).
     mirror = linalg.reflect(unit_dir, normal)
-    fuzz = jnp.minimum(mat.param, 1.0)  # constructor clamp (Material.h:41)
-    # max() guards cbrt's infinite slope at exactly 0.
-    ball = azimuth_vec(1.0 - 2.0 * u[:, 2]) * jnp.cbrt(jnp.maximum(u[:, 4], 1e-12))[..., None]
-    metal_raw = mirror + fuzz[..., None] * ball
-    metal_ok = linalg.dot(metal_raw, normal) > 0.0
-    metal_dir = linalg.normalize(jnp.where(metal_ok[..., None], metal_raw, mirror))
+    if _use(METAL):
+        fuzz = jnp.minimum(mat.param, 1.0)  # constructor clamp (Material.h:41)
+        # max() guards cbrt's infinite slope at exactly 0.
+        ball = azimuth_vec(1.0 - 2.0 * u[:, 2]) * jnp.cbrt(jnp.maximum(u[:, 4], 1e-12))[..., None]
+        metal_raw = mirror + fuzz[..., None] * ball
+        metal_ok = linalg.dot(metal_raw, normal) > 0.0
+        metal_dir = linalg.normalize(jnp.where(metal_ok[..., None], metal_raw, mirror))
 
     # --- Dielectric: Schlick-probability reflect vs refract with TIR
     # (Material.h:65-98). The Bernoulli is stop-gradiented; gradients flow
     # through the chosen branch's direction values.
-    is_diel = mat.kind == DIELECTRIC
-    ior = jnp.where(is_diel & (mat.param > 0), mat.param, 1.5)
-    eta = jnp.where(hit.front_face, 1.0 / ior, ior)
-    cos_theta = jnp.minimum(linalg.dot(-unit_dir, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-    cannot_refract = eta * sin_theta > 1.0
-    reflect_prob = schlick(cos_theta, eta)
-    choose_reflect = jax.lax.stop_gradient(
-        cannot_refract | (reflect_prob > u[:, 5])
-    )
-    refracted = linalg.refract(unit_dir, normal, eta)
-    diel_dir = linalg.normalize(
-        jnp.where(choose_reflect[..., None], mirror, refracted)
-    )
+    if _use(DIELECTRIC):
+        is_diel = mat.kind == DIELECTRIC
+        ior = jnp.where(is_diel & (mat.param > 0), mat.param, 1.5)
+        eta = jnp.where(hit.front_face, 1.0 / ior, ior)
+        cos_theta = jnp.minimum(linalg.dot(-unit_dir, normal), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+        cannot_refract = eta * sin_theta > 1.0
+        reflect_prob = schlick(cos_theta, eta)
+        choose_reflect = jax.lax.stop_gradient(
+            cannot_refract | (reflect_prob > u[:, 5])
+        )
+        refracted = linalg.refract(unit_dir, normal, eta)
+        diel_dir = linalg.normalize(
+            jnp.where(choose_reflect[..., None], mirror, refracted)
+        )
 
     # --- Phong metal (Path B METAL, CUDAPathTracer.cu:479-504): lobe around
     # the mirror direction, exponent from `param` (reference hard-codes 20).
     # u clamped away from 0: pow's derivative at 0 is infinite.
-    phong_cos = jnp.power(
-        jnp.maximum(u[:, 6], 1e-12), 1.0 / (jnp.maximum(mat.param, 0.0) + 1.0)
-    )
-    phong_dir = frame_lobe(linalg.normalize(mirror), phong_cos)
+    if _use(PHONG_METAL):
+        phong_cos = jnp.power(
+            jnp.maximum(u[:, 6], 1e-12), 1.0 / (jnp.maximum(mat.param, 0.0) + 1.0)
+        )
+        phong_dir = frame_lobe(linalg.normalize(mirror), phong_cos)
 
     # --- Coat (CUDAPathTracer.cu:522-563): 5% specular (white) else diffuse
     # cosine lobe about the oriented normal: cos(theta) = sqrt(1 - u).
-    coat_spec = jax.lax.stop_gradient(u[:, 8] < 0.05)
-    coat_diff_dir = frame_lobe(
-        normal, jnp.sqrt(jnp.maximum(0.0, 1.0 - u[:, 6]))
-    )
-    coat_dir = jnp.where(coat_spec[..., None], mirror, coat_diff_dir)
-    coat_atten = jnp.where(
-        coat_spec[..., None], jnp.ones_like(mat.albedo), mat.albedo
-    )
+    if _use(COAT):
+        coat_spec = jax.lax.stop_gradient(u[:, 8] < 0.05)
+        coat_diff_dir = frame_lobe(
+            normal, jnp.sqrt(jnp.maximum(0.0, 1.0 - u[:, 6]))
+        )
+        coat_dir = jnp.where(coat_spec[..., None], mirror, coat_diff_dir)
+        coat_atten = jnp.where(
+            coat_spec[..., None], jnp.ones_like(mat.albedo), mat.albedo
+        )
 
     # --- smallpt refraction (Path B REFRACTION, CUDAPathTracer.cu:566-614):
     # TIR reflect; else Fresnel-weighted choice between reflection and
@@ -171,59 +183,70 @@ def scatter(keys, rays: Rays, hit: Hit, mat: Materials) -> Scatter:
     # precedence yields (nt-nc)^2, CUDAPathTracer.cu:590) and we draw the
     # branch with probability P (the reference compares against a fixed
     # 0.25 while weighting by P, CUDAPathTracer.cu:598).
-    nt = jnp.where((mat.kind == REFRACTION) & (mat.param > 0), mat.param, 1.5)
-    nnt = jnp.where(hit.front_face, 1.0 / nt, nt)
-    ddn = linalg.dot(unit_dir, normal)  # negative (normal opposes the ray)
-    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
-    tir = cos2t < 0.0
-    tdir = linalg.normalize(
-        linalg.refract(unit_dir, normal, nnt)
-    )
-    r0 = ((nt - 1.0) / (nt + 1.0)) ** 2
-    c1m = 1.0 - jnp.where(hit.front_face, -ddn, linalg.dot(tdir, normal))
-    re = r0 + (1.0 - r0) * c1m**5
-    prob = 0.25 + 0.5 * re
-    choose_refl = jax.lax.stop_gradient(tir | (u[:, 5] < prob))
-    refr_dir = jnp.where(
-        choose_refl[..., None], linalg.normalize(mirror), tdir
-    )
-    refr_weight = jnp.where(
-        tir, 1.0, jnp.where(choose_refl, re / prob, (1.0 - re) / (1.0 - prob))
-    )
-    refr_atten = mat.albedo * refr_weight[..., None]
+    if _use(REFRACTION):
+        nt = jnp.where((mat.kind == REFRACTION) & (mat.param > 0), mat.param, 1.5)
+        nnt = jnp.where(hit.front_face, 1.0 / nt, nt)
+        ddn = linalg.dot(unit_dir, normal)  # negative (normal opposes the ray)
+        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+        tir = cos2t < 0.0
+        tdir = linalg.normalize(linalg.refract(unit_dir, normal, nnt))
+        r0 = ((nt - 1.0) / (nt + 1.0)) ** 2
+        c1m = 1.0 - jnp.where(hit.front_face, -ddn, linalg.dot(tdir, normal))
+        re = r0 + (1.0 - r0) * c1m**5
+        prob = 0.25 + 0.5 * re
+        choose_refl = jax.lax.stop_gradient(tir | (u[:, 5] < prob))
+        refr_dir = jnp.where(
+            choose_refl[..., None], linalg.normalize(mirror), tdir
+        )
+        refr_weight = jnp.where(
+            tir, 1.0, jnp.where(choose_refl, re / prob, (1.0 - re) / (1.0 - prob))
+        )
+        refr_atten = mat.albedo * refr_weight[..., None]
 
     kind = mat.kind
 
     def is_kind(k):
         return kind == k
 
-    direction = jnp.where(is_kind(LAMBERTIAN)[..., None], lamb_dir, lamb_dir)
-    direction = jnp.where(is_kind(METAL)[..., None], metal_dir, direction)
-    direction = jnp.where(is_kind(DIELECTRIC)[..., None], diel_dir, direction)
-    direction = jnp.where(is_kind(PHONG_METAL)[..., None], phong_dir, direction)
-    direction = jnp.where(is_kind(SPECULAR)[..., None], linalg.normalize(mirror), direction)
-    direction = jnp.where(is_kind(COAT)[..., None], coat_dir, direction)
-    direction = jnp.where(is_kind(REFRACTION)[..., None], refr_dir, direction)
+    direction = lamb_dir
+    if _use(METAL):
+        direction = jnp.where(is_kind(METAL)[..., None], metal_dir, direction)
+    if _use(DIELECTRIC):
+        direction = jnp.where(is_kind(DIELECTRIC)[..., None], diel_dir, direction)
+    if _use(PHONG_METAL):
+        direction = jnp.where(is_kind(PHONG_METAL)[..., None], phong_dir, direction)
+    if _use(SPECULAR):
+        direction = jnp.where(is_kind(SPECULAR)[..., None], linalg.normalize(mirror), direction)
+    if _use(COAT):
+        direction = jnp.where(is_kind(COAT)[..., None], coat_dir, direction)
+    if _use(REFRACTION):
+        direction = jnp.where(is_kind(REFRACTION)[..., None], refr_dir, direction)
 
     white = jnp.ones_like(mat.albedo)
     attenuation = mat.albedo
     # Metal absorption zeroes the contribution (Material.h:49 albedo*bScatter).
-    attenuation = jnp.where(
-        is_kind(METAL)[..., None],
-        mat.albedo * metal_ok[..., None].astype(mat.albedo.dtype),
-        attenuation,
-    )
-    attenuation = jnp.where(is_kind(DIELECTRIC)[..., None], white, attenuation)
-    attenuation = jnp.where(is_kind(COAT)[..., None], coat_atten, attenuation)
-    attenuation = jnp.where(is_kind(REFRACTION)[..., None], refr_atten, attenuation)
+    if _use(METAL):
+        attenuation = jnp.where(
+            is_kind(METAL)[..., None],
+            mat.albedo * metal_ok[..., None].astype(mat.albedo.dtype),
+            attenuation,
+        )
+    if _use(DIELECTRIC):
+        attenuation = jnp.where(is_kind(DIELECTRIC)[..., None], white, attenuation)
+    if _use(COAT):
+        attenuation = jnp.where(is_kind(COAT)[..., None], coat_atten, attenuation)
+    if _use(REFRACTION):
+        attenuation = jnp.where(is_kind(REFRACTION)[..., None], refr_atten, attenuation)
 
-    scattered = ~is_kind(EMISSION) & ~(is_kind(METAL) & ~metal_ok)
+    scattered = ~is_kind(EMISSION)
+    if _use(METAL):
+        scattered = scattered & ~(is_kind(METAL) & ~metal_ok)
 
     emitted = jnp.where(
         is_kind(EMISSION)[..., None],
         mat.albedo * mat.param[..., None],
         jnp.zeros_like(mat.albedo),
-    )
+    ) if _use(EMISSION) else jnp.zeros_like(mat.albedo)
 
     return Scatter(
         direction=direction,

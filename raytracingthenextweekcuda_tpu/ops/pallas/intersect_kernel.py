@@ -64,18 +64,25 @@ class PackedScene:
     from updated parameters on-device every iteration.
     """
 
-    def __init__(self, spheres, planes, triangles, counts):
+    def __init__(self, spheres, planes, triangles, counts, used_kinds=None):
         self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
         self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
         self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
         self.counts = counts        # static (S, P, T)
+        # Static set of material kinds present in the scene; the BSDF
+        # compiles only these branches (None = all kinds).
+        self.used_kinds = used_kinds
 
     def tree_flatten(self):
-        return (self.spheres, self.planes, self.triangles), self.counts
+        return (
+            (self.spheres, self.planes, self.triangles),
+            (self.counts, self.used_kinds),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux)
+        counts, used_kinds = aux
+        return cls(*children, counts, used_kinds)
 
 
 def _pad128(n: int) -> int:
@@ -135,7 +142,15 @@ def pack_scene(scene) -> PackedScene:
         tp = tp.at[6:9, :T].set((v[:, 2] - v[:, 0]).T)
     # padding: e1=e2=0 -> det 0 -> culled.
 
-    return PackedScene(sp, pp, tp, (S, P, T))
+    # Static material-kind set (requires concrete kinds, i.e. pack outside
+    # of or before any trace that abstracts them; fall back to None inside
+    # a trace where values are unavailable).
+    try:
+        used_kinds = tuple(sorted({int(k) for k in np.asarray(scene.materials.kind)}))
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        used_kinds = None
+
+    return PackedScene(sp, pp, tp, (S, P, T), used_kinds)
 
 
 def _intersect_kernel(

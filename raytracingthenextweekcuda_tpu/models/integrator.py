@@ -62,13 +62,24 @@ def intersect_scene(scene: Scene, rays: Rays, tmin, tmax) -> Hit:
     primitive types compile to nothing — the analogue of null entries in the
     reference's `constantObjects` table (main.cu:47-49).
     """
-    if scene.packed is not None and scene.bvh is None:
+    if scene.packed is not None:
         from raytracingthenextweekcuda_tpu.ops.fused import intersect_scene_fused
 
-        return intersect_scene_fused(
+        hit = intersect_scene_fused(
             scene, scene.packed, rays, tmin,
             interpret=jax.default_backend() == "cpu",
         )
+        if scene.bvh is not None and scene.triangles.count:
+            # Two-level dispatch: fused kernel covers analytic primitives
+            # (the packed arrays exclude triangles, see finalize), LBVH/SAH
+            # traversal covers the mesh.
+            from raytracingthenextweekcuda_tpu.ops import traverse
+
+            hit = closer(
+                hit,
+                traverse.intersect_bvh(rays, scene.triangles, scene.bvh, tmin, tmax),
+            )
+        return hit
 
     hit = Hit.none(rays.count)
     if scene.spheres.count:

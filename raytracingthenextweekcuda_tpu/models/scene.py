@@ -68,7 +68,10 @@ def finalize(scene: Scene, use_bvh: bool | None = None, bvh_threshold: int = 819
             scene = scene._replace(bvh=native.build_sah_bvh(scene.triangles))
         else:
             scene = scene._replace(bvh=build_bvh(scene.triangles))
-    return scene._replace(packed=pack_scene(scene))
+    # With a BVH the fused kernel handles only the analytic primitives.
+    return scene._replace(
+        packed=pack_scene(scene, include_triangles=scene.bvh is None)
+    )
 
 
 class SceneBuilder:

@@ -89,10 +89,13 @@ def _pad128(n: int) -> int:
     return max(128, ((n + 127) // 128) * 128)
 
 
-def pack_scene(scene) -> PackedScene:
+def pack_scene(scene, include_triangles: bool = True) -> PackedScene:
     """Pack Scene primitive SoA into planar padded arrays (jnp, jit-safe).
 
     Values are stop-gradient'd: the kernel output is selection-only.
+    `include_triangles=False` packs only spheres+planes — used when a BVH
+    handles the triangles and the fused kernel covers the analytic
+    primitives (two-level dispatch).
     """
     sg = jax.lax.stop_gradient
 
@@ -133,7 +136,7 @@ def pack_scene(scene) -> PackedScene:
     # padding: normal 0 -> denominator 0 -> gate fails.
 
     tri = scene.triangles
-    T = tri.count
+    T = tri.count if include_triangles else 0
     tp = jnp.zeros((9, _pad128(T)), DTYPE)
     if T:
         v = sg(tri.vertices)

@@ -12,6 +12,13 @@ import sys
 
 
 def main() -> int:
+    import jax
+
+    # Persistent compilation cache: remote compiles through the axon relay
+    # can take minutes; cached executables make repeat runs start instantly.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from raytracingthenextweekcuda_tpu.apps.bench import run_bench
 
     result = run_bench()

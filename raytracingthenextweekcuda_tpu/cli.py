@@ -51,6 +51,15 @@ def cmd_render(args) -> int:
     from raytracingthenextweekcuda_tpu.models import integrator
     from raytracingthenextweekcuda_tpu.models.film import Film, to_image
 
+    if args.debug_nan:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)  # gpuErrorCheck analogue
+
+    from raytracingthenextweekcuda_tpu.utils.log import report_devices
+
+    print(report_devices(), file=sys.stderr)  # Utils::queryDeviceProperties
+
     scene, camera = _build_scene(args)
     cfg = RenderConfig(
         width=args.width, height=args.height, spp=args.spp,
@@ -109,9 +118,22 @@ def cmd_render(args) -> int:
         )
         return 0
     else:
+        from raytracingthenextweekcuda_tpu.models.film import Film
+        from raytracingthenextweekcuda_tpu.utils.progress import Progress
+        from raytracingthenextweekcuda_tpu.utils.timing import sync
+
+        passes = cfg.passes()
+        progress = Progress(len(passes))  # 10%-step prints (main.cu:197-203)
+        film = Film.create(cfg.width, cfg.height)
+        key = jax.random.key(cfg.seed)
         t0 = time.perf_counter()
-        film = integrator.render(scene, camera, cfg)
-        film.accum.block_until_ready()
+        for i, chunk in enumerate(passes):
+            film = film.add(
+                integrator.render_pass(scene, camera, jax.random.fold_in(key, i), cfg, chunk),
+                chunk,
+            )
+            sync(film.accum)
+            progress.update()
         dt = time.perf_counter() - t0
         write_png(args.out, to_image(film))
         rays = cfg.num_pixels * cfg.spp
@@ -176,6 +198,8 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", metavar="PATH",
                     help="checkpoint film state here after each pass; resumes "
                          "automatically if the file exists and is fresh")
+    pr.add_argument("--debug-nan", action="store_true",
+                    help="abort on NaN in any computation (gpuErrorCheck analogue)")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("bench", help="run the headline benchmark, print one JSON line")

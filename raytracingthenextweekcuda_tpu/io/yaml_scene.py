@@ -35,10 +35,14 @@ from raytracingthenextweekcuda_tpu.models.scene import Scene, SceneBuilder
 # MaterialType enum order (Material.h:8-13).
 _MAT_LAMBERTIAN, _MAT_METAL, _MAT_DIELECTRIC, _MAT_EMISSION = 0, 1, 2, 3
 
+# $RTNW_MODEL_ROOTS (colon-separated) extends the search path — the analogue
+# of the reference's env-based asset root (Filesystem.h/root_directory.h).
 DEFAULT_MODEL_ROOTS = [
+    *os.environ.get("RTNW_MODEL_ROOTS", "").split(":"),
     "assets/models",
     os.path.join(os.path.dirname(__file__), "..", "..", "assets", "models"),
 ]
+DEFAULT_MODEL_ROOTS = [r for r in DEFAULT_MODEL_ROOTS if r]
 
 
 def _resolve_model(path: str, model_roots) -> str:

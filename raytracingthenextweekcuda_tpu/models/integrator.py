@@ -47,7 +47,7 @@ def sky_color(direction: jnp.ndarray) -> jnp.ndarray:
     return linalg.lerp(white, blue, t[..., None])
 
 
-def intersect_scene(scene: Scene, rays: Rays, tmin, tmax) -> Hit:
+def intersect_scene(scene: Scene, rays: Rays, tmin, tmax, alive=None) -> Hit:
     """Closest hit across all primitive batches.
 
     Three regimes, all semantics-identical:
@@ -67,7 +67,7 @@ def intersect_scene(scene: Scene, rays: Rays, tmin, tmax) -> Hit:
 
         hit = intersect_scene_fused(
             scene, scene.packed, rays, tmin,
-            interpret=jax.default_backend() == "cpu",
+            interpret=jax.default_backend() == "cpu", alive=alive,
         )
         if scene.bvh is not None and scene.triangles.count:
             # Two-level dispatch: fused kernel covers analytic primitives
@@ -122,7 +122,7 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
         rays_b, throughput, radiance, alive = state
         bkeys = jax.vmap(lambda k: jax.random.fold_in(k, bounce_idx + 1))(ray_keys)
 
-        hit = intersect_scene(scene, rays_b, cfg.tmin, INFINITY)
+        hit = intersect_scene(scene, rays_b, cfg.tmin, INFINITY, alive=alive)
         mat = scene.materials.gather(hit.material_id)
         # Static kind set (recorded at pack time) prunes absent BSDF branches.
         used_kinds = getattr(scene.packed, "used_kinds", None)

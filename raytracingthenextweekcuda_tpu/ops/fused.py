@@ -34,10 +34,11 @@ from raytracingthenextweekcuda_tpu.ops.rays import Hit, Rays, face_normal
 
 def intersect_scene_fused(
     scene, packed: PackedScene, rays: Rays, tmin, backface_cull: bool = True,
-    interpret: bool = False,
+    interpret: bool = False, alive=None,
 ) -> Hit:
     t_sel, code = jax.lax.stop_gradient(
-        intersect_packed(rays, packed, tmin, backface_cull, interpret)
+        intersect_packed(rays, packed, tmin, backface_cull, interpret,
+                         alive=alive)
     )
     valid = code >= 0
     ptype = jnp.where(valid, code >> 24, 0)

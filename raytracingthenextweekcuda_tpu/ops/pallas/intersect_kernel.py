@@ -157,7 +157,7 @@ def pack_scene(scene, include_triangles: bool = True) -> PackedScene:
 
 
 def _intersect_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
     sph_ref, pla_ref, tri_ref,
     t_ref, code_ref,
     *, n_sph_tiles: int, n_pla_tiles: int, n_tri_tiles: int,
@@ -168,6 +168,7 @@ def _intersect_kernel(
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tm = tm_ref[0]
     shape = ox.shape  # (ROWS, 128)
+    any_alive = jnp.any(alive_ref[0] != 0)  # block-level dead-ray skip
 
     best_t = jnp.full(shape, BIG, jnp.float32)
     best_code = jnp.full(shape, -1, jnp.int32)
@@ -222,10 +223,6 @@ def _intersect_kernel(
         code = (TYPE_SPHERE << 24) | idx
         return consider(valid, t, code, best_t, best_code)
 
-    best_t, best_code = jax.lax.fori_loop(
-        0, n_sph_tiles, sphere_tile, (best_t, best_code)
-    )
-
     # ---- planes ----
     def plane_tile(j, carry):
         best_t, best_code = carry
@@ -254,10 +251,6 @@ def _intersect_kernel(
         idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2) + j * PRIM_TILE
         code = (TYPE_PLANE << 24) | idx
         return consider(valid, t, code, best_t, best_code)
-
-    best_t, best_code = jax.lax.fori_loop(
-        0, n_pla_tiles, plane_tile, (best_t, best_code)
-    )
 
     # ---- triangles ----
     def tri_tile(j, carry):
@@ -292,12 +285,18 @@ def _intersect_kernel(
         code = (TYPE_TRIANGLE << 24) | idx
         return consider(valid, t, code, best_t, best_code)
 
-    best_t, best_code = jax.lax.fori_loop(
-        0, n_tri_tiles, tri_tile, (best_t, best_code)
-    )
+    t_ref[0] = jnp.full(shape, BIG, jnp.float32)
+    code_ref[0] = jnp.full(shape, -1, jnp.int32)
 
-    t_ref[0] = jnp.where(best_code >= 0, best_t, BIG)
-    code_ref[0] = best_code
+    @pl.when(any_alive)
+    def _():
+        carry = (best_t, best_code)
+        carry = jax.lax.fori_loop(0, n_sph_tiles, sphere_tile, carry)
+        carry = jax.lax.fori_loop(0, n_pla_tiles, plane_tile, carry)
+        carry = jax.lax.fori_loop(0, n_tri_tiles, tri_tile, carry)
+        bt, bc = carry
+        t_ref[0] = jnp.where(bc >= 0, bt, BIG)
+        code_ref[0] = bc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -328,7 +327,7 @@ _run_kernel_nodiff.defvjp(_run_kernel_fwd, _run_kernel_bwd)
 
 
 def _intersect_kernel_scalar(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
     sph_ref, pla_ref, tri_ref,
     t_ref, code_ref,
     *, n_sph: int, n_pla: int, n_tri: int, tmin: float, backface_cull: bool,
@@ -346,8 +345,15 @@ def _intersect_kernel_scalar(
     tm = tm_ref[0]
     shape = ox.shape
 
-    best_t = jnp.full(shape, BIG, jnp.float32)
-    best_code = jnp.full(shape, -1, jnp.int32)
+    # Wavefront compaction, block granularity: terminated rays cluster
+    # spatially (sky/light regions), so whole ray blocks go all-dead on
+    # later bounces and skip every primitive loop. The megakernel analogue
+    # is each CUDA thread's early return (main.cu:80,89) — here it's
+    # amortized per 1024-ray block instead of per lane.
+    any_alive = jnp.any(alive_ref[0] != 0)
+
+    t_ref[0] = jnp.full(shape, BIG, jnp.float32)
+    code_ref[0] = jnp.full(shape, -1, jnp.int32)
 
     def consider(valid, t, code_scalar, best_t, best_code):
         win = valid & (t < best_t)
@@ -428,17 +434,21 @@ def _intersect_kernel_scalar(
         )
         return consider(valid, t, (TYPE_TRIANGLE << 24) | i, best_t, best_code)
 
-    carry = (best_t, best_code)
-    if n_sph:
-        carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
-    if n_pla:
-        carry = jax.lax.fori_loop(0, n_pla, plane_body, carry)
-    if n_tri:
-        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
-    best_t, best_code = carry
-
-    t_ref[0] = jnp.where(best_code >= 0, best_t, BIG)
-    code_ref[0] = best_code
+    @pl.when(any_alive)
+    def _():
+        carry = (
+            jnp.full(shape, BIG, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+        )
+        if n_sph:
+            carry = jax.lax.fori_loop(0, n_sph, sphere_body, carry)
+        if n_pla:
+            carry = jax.lax.fori_loop(0, n_pla, plane_body, carry)
+        if n_tri:
+            carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+        best_t, best_code = carry
+        t_ref[0] = jnp.where(best_code >= 0, best_t, BIG)
+        code_ref[0] = best_code
 
 
 # Below this primitive count the scalar-prim kernel (zero padding waste)
@@ -450,7 +460,7 @@ SCALAR_KERNEL_MAX_PRIMS = 2048
     jax.jit, static_argnames=("counts", "tmin", "backface_cull", "interpret")
 )
 def _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret):
-    ox, oy, oz, dx, dy, dz, tm = ray_comps
+    ox, oy, oz, dx, dy, dz, tm, alive = ray_comps
     sph, pla, tri = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
@@ -486,7 +496,7 @@ def _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret
     out_t, out_code = pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[ray_spec] * 7 + [prim_spec] * 3,
+        in_specs=[ray_spec] * 8 + [prim_spec] * 3,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32),
@@ -495,19 +505,22 @@ def _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret
         interpret=interpret,
     )(
         reshape(ox), reshape(oy), reshape(oz),
-        reshape(dx), reshape(dy), reshape(dz), reshape(tm),
+        reshape(dx), reshape(dy), reshape(dz), reshape(tm), reshape(alive),
         sph, pla, tri,
     )
     return out_t.reshape(n), out_code.reshape(n)
 
 
 def intersect_packed(rays, packed: PackedScene, tmin=EPSILON,
-                     backface_cull: bool = True, interpret: bool = False):
+                     backface_cull: bool = True, interpret: bool = False,
+                     alive=None):
     """Closest-hit over the packed scene. Returns (t, code) per ray;
     code < 0 on miss, else type << 24 | prim index. Selection only — wrap
     in stop_gradient and recompute shading differentiably outside.
 
-    Pads the ray count up to a RAY_BLOCK multiple internally.
+    `alive` (bool (N,), optional) enables block-granular dead-ray skipping:
+    a 1024-ray block whose rays are all terminated skips every primitive
+    loop. Pads the ray count up to a RAY_BLOCK multiple internally.
     """
     n = rays.origin.shape[0]
     n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
@@ -515,10 +528,14 @@ def intersect_packed(rays, packed: PackedScene, tmin=EPSILON,
     def pad(a):
         return jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
 
+    if alive is None:
+        alive_i = jnp.ones((n,), jnp.int32)
+    else:
+        alive_i = alive.astype(jnp.int32)
     comps = (
         pad(rays.origin[:, 0]), pad(rays.origin[:, 1]), pad(rays.origin[:, 2]),
         pad(rays.direction[:, 0] + 0.0), pad(rays.direction[:, 1]),
-        pad(rays.direction[:, 2]), pad(rays.time),
+        pad(rays.direction[:, 2]), pad(rays.time), pad(alive_i),
     )
     t, code = _run_kernel_nodiff(
         comps,

@@ -26,13 +26,14 @@ class Progress:
     def update(self, n: int = 1) -> None:
         self.done += n
         pct = self.done * 100.0 / self.total
-        while pct >= self._next:
+        if pct >= self._next:
             elapsed = time.perf_counter() - self._t0
             self.stream.write(
                 f"{self.label}: {min(pct, 100.0):.2f}%  ({elapsed:.1f}s)\n"
             )
             self.stream.flush()
-            self._next += self.step
+            while self._next <= pct:
+                self._next += self.step
 
     def finish(self) -> None:
         if self.done < self.total:

@@ -19,7 +19,11 @@ def run_bench(
     height: int = 512,
     spp: int = 128,
     bounces: int = 10,
-    spp_per_pass: int = 16,
+    # One pass = one device dispatch. Multiple passes serialize host->device
+    # round trips (through the axon relay each costs ~200 ms, measured 3238
+    # vs 1403 ms for 8 vs 1 dispatch); HBM holds one sample wavefront at a
+    # time regardless because render_pass scans over samples.
+    spp_per_pass: int = 128,
     use_bvh: bool = True,
     warmup: bool = True,
 ) -> dict:
@@ -48,7 +52,14 @@ def run_bench(
 
     key = jax.random.key(cfg.seed)
     if warmup:  # compile outside the timed region (GPUTimer analogue)
-        sync(integrator.render_pass(scene, camera, key, cfg, cfg.passes()[0]))
+        # Warm the FULL render() path (render_pass + film accumulation ops),
+        # not just render_pass: film.add compiles lazily on first use and
+        # costs ~1.3 s through the relay.
+        warm_cfg = RenderConfig(
+            width=width, height=height, spp=min(spp_per_pass, spp),
+            bounces=bounces, spp_per_pass=spp_per_pass,
+        )
+        sync(integrator.render(scene, camera, warm_cfg, key=key).accum)
 
     t0 = time.perf_counter()
     film = integrator.render(scene, camera, cfg, key=key)

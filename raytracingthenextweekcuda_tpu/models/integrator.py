@@ -126,7 +126,13 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
         mat = scene.materials.gather(hit.material_id)
         # Static kind set (recorded at pack time) prunes absent BSDF branches.
         used_kinds = getattr(scene.packed, "used_kinds", None)
-        scat = scatter(bkeys, rays_b, hit, mat, used_kinds)
+        # One (N, 4) uniform block per bounce covers every scatter draw
+        # (slots 0-2, see ops.materials.scatter) plus Russian roulette
+        # (slot 3) — a single threefry sweep instead of one per draw.
+        u4 = jax.vmap(
+            lambda k: jax.random.uniform(k, (4,), dtype=dtype)
+        )(bkeys)
+        scat = scatter(u4, rays_b, hit, mat, used_kinds)
 
         if cfg.sky_background:
             sky = sky_color(rays_b.direction)
@@ -152,10 +158,9 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
         )
 
         if cfg.russian_roulette:
-            rr_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5252))(bkeys)
             p = jnp.clip(jnp.max(new_throughput, axis=-1), 0.05, 1.0)
             p = jax.lax.stop_gradient(p)
-            u = jax.vmap(lambda k: jax.random.uniform(k, (), dtype=dtype))(rr_keys)
+            u = u4[:, 3]  # reserved RR slot, decorrelated from slots 0-2
             do_rr = bounce_idx >= cfg.rr_start_bounce
             survive = ~do_rr | (u < p)
             new_throughput = jnp.where(

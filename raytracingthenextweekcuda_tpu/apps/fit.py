@@ -58,7 +58,10 @@ def run_fit(
         eye=(0.0, 0.6, 2.2), center=(0.0, 0.0, 0.0), fov=45.0,
         aperture=0.0, focus_distance=2.2,
     )
-    cfg = RenderConfig(width=width, height=height, spp=spp, bounces=4, spp_per_pass=spp)
+    # fused_bounce=False: fit differentiates the render, which requires the
+    # XLA wavefront engine (the Pallas megastep is forward-only).
+    cfg = RenderConfig(width=width, height=height, spp=spp, bounces=4,
+                       spp_per_pass=spp, fused_bounce=False)
 
     true_centers = jnp.asarray([[-0.45, 0.0, 0.0], [0.5, 0.05, -0.2]], jnp.float32)
     true_albedos = jnp.asarray([[0.8, 0.2, 0.2], [0.2, 0.3, 0.8]], jnp.float32)

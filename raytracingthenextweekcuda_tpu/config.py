@@ -54,6 +54,13 @@ class RenderConfig:
     sky_background: bool = True
     # curand seed 1984 (main.cu:127) — here the root of the PRNG key tree.
     seed: int = 1984
+    # Render each bounce as ONE fused Pallas megastep (intersect + shade +
+    # scatter in VMEM, ops/pallas/bounce_kernel.py) when the scene is
+    # eligible (all primitives packed, no BVH). Forward-only: differentiating
+    # a fused-bounce render raises with instructions to set this False (the
+    # XLA wavefront path is the differentiable engine; both consume the same
+    # RNG stream and agree to float tolerance).
+    fused_bounce: bool = True
 
     @property
     def aspect_ratio(self) -> float:

@@ -101,6 +101,73 @@ def intersect_scene(scene: Scene, rays: Rays, tmin, tmax, alive=None) -> Hit:
     return hit
 
 
+def _trace_fused(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
+    """Fused-bounce trace: each bounce is ONE Pallas megastep
+    (ops/pallas/bounce_kernel.py) over planar wavefront state. Consumes the
+    same per-(pixel, bounce) RNG stream as the XLA path below, so the two
+    engines agree to float tolerance. Forward-only (see cfg.fused_bounce).
+    """
+    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+        bounce_step,
+        planar_state,
+    )
+
+    n = rays.count
+    dtype = rays.origin.dtype
+    interpret = jax.default_backend() == "cpu"
+    state = planar_state(rays)
+
+    def bounce(state, bounce_idx):
+        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, bounce_idx + 1))(ray_keys)
+        u4 = jax.vmap(
+            lambda k: jax.random.uniform(k, (4,), dtype=dtype)
+        )(bkeys)
+        do_rr = (bounce_idx >= cfg.rr_start_bounce).astype(jnp.int32)
+        return bounce_step(
+            scene, scene.packed, state, u4, do_rr, cfg, interpret=interpret,
+        )
+
+    def bounce_or_skip(state, bounce_idx):
+        return jax.lax.cond(
+            jnp.any(state[7] != 0),
+            lambda s: bounce(s, bounce_idx), lambda s: s, state,
+        ), None
+
+    state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(cfg.bounces))
+    rx, ry, rz = state[11], state[12], state[13]
+    radiance = jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
+
+    # Grad guard. pack_scene stop-gradients the packed arrays (the selection
+    # kernel needs that on the differentiable path), so differentiating a
+    # fused-bounce render wrt scene parameters would SILENTLY yield zero
+    # gradients. This probe is exactly 0.0 in the primal but carries the
+    # scene-parameter tangents into a custom_vjp whose bwd raises, pointing
+    # at cfg.fused_bounce=False.
+    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+        _forward_only,
+    )
+
+    probe = sum(
+        jnp.sum(leaf)
+        for leaf in jax.tree_util.tree_leaves(
+            (scene.spheres, scene.planes, scene.triangles, scene.materials)
+        )
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+    probe = _forward_only(probe)
+    return radiance + (probe - jax.lax.stop_gradient(probe))
+
+
+def _fused_eligible(scene: Scene, cfg: RenderConfig) -> bool:
+    """Static test: the megastep covers the whole scene (trace-time check)."""
+    return (
+        cfg.fused_bounce
+        and scene.packed is not None
+        and getattr(scene.packed, "shaded", False)
+        and scene.bvh is None
+    )
+
+
 def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
     """Path-trace a wavefront to completion. Returns radiance (N, 3).
 
@@ -108,6 +175,9 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
     bounce folds the bounce index in, so every random draw is a pure function
     of (seed, pass, pixel, bounce) — independent of device placement.
     """
+    if _fused_eligible(scene, cfg):
+        return _trace_fused(scene, rays, ray_keys, cfg)
+
     n = rays.count
     dtype = rays.origin.dtype
 

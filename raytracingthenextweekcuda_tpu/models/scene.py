@@ -69,9 +69,15 @@ def finalize(scene: Scene, use_bvh: bool | None = None, bvh_threshold: int = 819
         else:
             scene = scene._replace(bvh=build_bvh(scene.triangles))
     # With a BVH the fused kernel handles only the analytic primitives.
-    return scene._replace(
-        packed=pack_scene(scene, include_triangles=scene.bvh is None)
-    )
+    if scene.bvh is None:
+        # Shaded pack (base rows + per-prim material rows): serves both the
+        # selection kernel and the fused bounce megastep.
+        from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+            pack_scene_shaded,
+        )
+
+        return scene._replace(packed=pack_scene_shaded(scene))
+    return scene._replace(packed=pack_scene(scene, include_triangles=False))
 
 
 class SceneBuilder:

@@ -1,0 +1,706 @@
+"""Fused bounce megastep: intersect + shade + scatter in ONE Pallas kernel.
+
+The forward-only production render path. The wavefront integrator
+(models/integrator.py) runs each bounce as a chain of XLA ops — intersect
+kernel, winner-attribute lookup, material gather, branchless BSDF blend,
+radiance/throughput bookkeeping — each reading and writing (N, 3) wavefront
+state through HBM. Profiled at the bench wavefront (512x512 rays, Cornell):
+raw intersect kernel 0.36 ms but 1.14 ms total per bounce; and the
+block-granular dead-ray skip only covered the intersect phase.
+
+This kernel fuses the ENTIRE bounce body over 1024-ray VMEM blocks:
+
+  closest-hit over all packed primitives (same math as intersect_kernel)
+  -> winner attributes accumulated IN the loop (outward normal + material
+     row), no post-hoc lookup
+  -> sky/emission/termination bookkeeping
+  -> the full 8-kind branchless BSDF (mirrors ops/materials.scatter
+     expression-for-expression, including the shared-azimuth trick)
+  -> Russian roulette (optional)
+  -> next-ray state write-back
+
+HBM traffic per bounce = read 15 planar (N,) arrays + write 13; everything
+else lives in VMEM/registers. The block-level dead-ray skip now covers the
+whole bounce: a terminated 1024-ray block costs a pass-through copy.
+
+RNG comes in as a pre-drawn (N, 4) uniform block computed by the SAME
+per-ray counter-based keying as the XLA path, so both engines consume
+identical random streams and their images agree to float tolerance
+(tests/test_bounce_kernel.py asserts this on every preset).
+
+Differentiability: none, by design — grad must flow through the XLA
+wavefront path (cfg.fused_bounce=False); attempting to differentiate this
+kernel raises with that instruction (custom_vjp bwd raises).
+
+Reference parity: the bounce semantics are Path A's rayColor loop
+(main.cu:63-94) + Path B's additive emission (CUDAPathTracer.cu:430,449),
+identical to models/integrator.trace.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingthenextweekcuda_tpu.config import EPSILON, FLT_EPSILON
+from raytracingthenextweekcuda_tpu.ops.geometry import (
+    COAT,
+    DIELECTRIC,
+    EMISSION,
+    LAMBERTIAN,
+    METAL,
+    PHONG_METAL,
+    REFRACTION,
+    SPECULAR,
+)
+from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
+    BIG,
+    RAY_BLOCK,
+)
+
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)
+
+# Row offsets of the 8 material-attribute rows appended to each packed
+# primitive array by pack_scene_shaded: kind, albedo rgb, param, emission rgb.
+MAT_ROWS = 8
+
+
+def _mat_rows(materials, material_id):
+    """(8, P) material-attribute rows for per-primitive material ids."""
+    import jax.numpy as jnp
+
+    sg = jax.lax.stop_gradient
+    mid = jnp.maximum(material_id, 0)
+    kind = sg(materials.kind)[mid].astype(jnp.float32)
+    albedo = sg(materials.albedo)[mid]
+    param = sg(materials.param)[mid]
+    emis = sg(materials.emission)[mid]
+    return jnp.stack(
+        [kind, albedo[:, 0], albedo[:, 1], albedo[:, 2], param,
+         emis[:, 0], emis[:, 1], emis[:, 2]], axis=0,
+    )
+
+
+def pack_scene_shaded(scene):
+    """PackedScene whose per-type arrays carry 8 extra material rows.
+
+    Layout: base rows from intersect_kernel.pack_scene (spheres 10,
+    planes 13, triangles 9) + [kind, albedo_r/g/b, param, emis_r/g/b].
+    The base rows are bit-identical to pack_scene's, so intersect_packed
+    consumers could share this array; it is kept separate to avoid
+    repacking costs showing up on the differentiable path.
+    """
+    from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
+        PackedScene,
+        pack_scene,
+    )
+
+    base = pack_scene(scene, include_triangles=True)
+    S, P, T = base.counts
+
+    def extend(arr, prim, count):
+        rows = jnp.zeros((MAT_ROWS, arr.shape[1]), arr.dtype)
+        if count:
+            rows = rows.at[:, :count].set(_mat_rows(scene.materials, prim.material_id))
+        return jnp.concatenate([arr, rows], axis=0)
+
+    return PackedScene(
+        extend(base.spheres, scene.spheres, S),
+        extend(base.planes, scene.planes, P),
+        extend(base.triangles, scene.triangles, T),
+        base.counts,
+        base.used_kinds,
+        shaded=True,
+    )
+
+
+def _bounce_kernel(
+    do_rr_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
+    u0_ref, u1_ref, u2_ref, u3_ref,
+    tpx_ref, tpy_ref, tpz_ref, rx_ref, ry_ref, rz_ref,
+    sph_ref, pla_ref, tri_ref,
+    oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+    otpx_ref, otpy_ref, otpz_ref, orx_ref, ory_ref, orz_ref, oalive_ref,
+    *, n_sph: int, n_pla: int, n_tri: int, tmin: float,
+    backface_cull: bool, sky: bool, used_kinds, russian_roulette: bool,
+    sb: int, pb: int, tb: int,
+):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tm_ref[0]
+    alive = alive_ref[0] != 0
+    shape = ox.shape
+
+    # Pass-through defaults (dead block: state is copied unchanged).
+    oox_ref[0] = ox; ooy_ref[0] = oy; ooz_ref[0] = oz
+    odx_ref[0] = dx; ody_ref[0] = dy; odz_ref[0] = dz
+    otpx_ref[0] = tpx_ref[0]; otpy_ref[0] = tpy_ref[0]; otpz_ref[0] = tpz_ref[0]
+    orx_ref[0] = rx_ref[0]; ory_ref[0] = ry_ref[0]; orz_ref[0] = rz_ref[0]
+    oalive_ref[0] = jnp.zeros(shape, jnp.int32)
+
+    def _use(k):
+        return used_kinds is None or k in used_kinds
+
+    @pl.when(jnp.any(alive))
+    def _():
+        tpx, tpy, tpz = tpx_ref[0], tpy_ref[0], tpz_ref[0]
+        rx, ry, rz = rx_ref[0], ry_ref[0], rz_ref[0]
+        u0, u1, u2, u3 = u0_ref[0], u1_ref[0], u2_ref[0], u3_ref[0]
+
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        a = dx * dx + dy * dy + dz * dz  # |d|^2, ray-invariant across prims
+        # Winner attributes, accumulated inside the primitive loops.
+        w_nx, w_ny, w_nz = zero, zero, zero          # outward normal
+        w_kind = jnp.full(shape, -1.0, jnp.float32)  # material kind (-1 miss)
+        w_ar, w_ag, w_ab = zero, zero, zero          # albedo
+        w_par = zero                                  # param
+        w_er, w_eg, w_eb = zero, zero, zero          # additive emission
+
+        def take(win, new, old):
+            return jnp.where(win, new, old)
+
+        carry0 = (best_t, w_kind, w_nx, w_ny, w_nz,
+                  w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb)
+
+        def sphere_body(i, carry):
+            (best_t, w_kind, w_nx, w_ny, w_nz,
+             w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+            w = (tm - sph_ref[6, i]) * sph_ref[7, i]
+            cx = sph_ref[0, i] + sph_ref[3, i] * w
+            cy = sph_ref[1, i] + sph_ref[4, i] * w
+            cz = sph_ref[2, i] + sph_ref[5, i] * w
+            r = sph_ref[8, i]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * c
+            ok = disc > FLT_EPSILON
+            sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+            inv_a = 1.0 / a
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            in0 = (r0 >= tmin) & (r0 <= best_t)
+            in1 = (r1 >= tmin) & (r1 <= best_t)
+            t = jnp.where(in0, r0, r1)
+            win = ok & (in0 | in1)
+            inv_r = 1.0 / jnp.where(r != 0.0, r, 1.0)
+            return (
+                take(win, t, best_t),
+                take(win, sph_ref[sb + 0, i], w_kind),
+                take(win, (ox + t * dx - cx) * inv_r, w_nx),
+                take(win, (oy + t * dy - cy) * inv_r, w_ny),
+                take(win, (oz + t * dz - cz) * inv_r, w_nz),
+                take(win, sph_ref[sb + 1, i], w_ar),
+                take(win, sph_ref[sb + 2, i], w_ag),
+                take(win, sph_ref[sb + 3, i], w_ab),
+                take(win, sph_ref[sb + 4, i], w_par),
+                take(win, sph_ref[sb + 5, i], w_er),
+                take(win, sph_ref[sb + 6, i], w_eg),
+                take(win, sph_ref[sb + 7, i], w_eb),
+            )
+
+        def plane_body(i, carry):
+            (best_t, w_kind, w_nx, w_ny, w_nz,
+             w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+            nx, ny, nz = pla_ref[3, i], pla_ref[4, i], pla_ref[5, i]
+            denom = dx * nx + dy * ny + dz * nz
+            two_sided = pla_ref[12, i] > 0.5
+            gate = (jnp.abs(denom) > EPSILON) & two_sided | (
+                (denom > EPSILON) & jnp.logical_not(two_sided)
+            )
+            inv_den = 1.0 / jnp.where(gate, denom, 1.0)
+            t = ((pla_ref[0, i] - ox) * nx + (pla_ref[1, i] - oy) * ny
+                 + (pla_ref[2, i] - oz) * nz) * inv_den
+            hx = ox + t * dx
+            hy = oy + t * dy
+            hz = oz + t * dz
+            inside = (
+                (hx > pla_ref[6, i]) & (hx < pla_ref[9, i])
+                & (hy > pla_ref[7, i]) & (hy < pla_ref[10, i])
+                & (hz > pla_ref[8, i]) & (hz < pla_ref[11, i])
+            )
+            win = gate & inside & (t >= tmin) & (t < best_t)
+            return (
+                take(win, t, best_t),
+                take(win, pla_ref[pb + 0, i], w_kind),
+                take(win, jnp.full(shape, nx), w_nx),
+                take(win, jnp.full(shape, ny), w_ny),
+                take(win, jnp.full(shape, nz), w_nz),
+                take(win, pla_ref[pb + 1, i], w_ar),
+                take(win, pla_ref[pb + 2, i], w_ag),
+                take(win, pla_ref[pb + 3, i], w_ab),
+                take(win, pla_ref[pb + 4, i], w_par),
+                take(win, pla_ref[pb + 5, i], w_er),
+                take(win, pla_ref[pb + 6, i], w_eg),
+                take(win, pla_ref[pb + 7, i], w_eb),
+            )
+
+        def tri_body(i, carry):
+            (best_t, w_kind, w_nx, w_ny, w_nz,
+             w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+            e1x, e1y, e1z = tri_ref[3, i], tri_ref[4, i], tri_ref[5, i]
+            e2x, e2y, e2z = tri_ref[6, i], tri_ref[7, i], tri_ref[8, i]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            if backface_cull:
+                ok = det > FLT_EPSILON
+            else:
+                ok = jnp.abs(det) > FLT_EPSILON
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tx = ox - tri_ref[0, i]
+            ty = oy - tri_ref[1, i]
+            tz = oz - tri_ref[2, i]
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            win = (
+                ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tmin) & (t < best_t)
+            )
+            # Geometric normal = normalize(cross(e1, e2)) — scalar per prim.
+            gnx = e1y * e2z - e1z * e2y
+            gny = e1z * e2x - e1x * e2z
+            gnz = e1x * e2y - e1y * e2x
+            gil = jax.lax.rsqrt(
+                jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, 1e-30)
+            )
+            return (
+                take(win, t, best_t),
+                take(win, tri_ref[tb + 0, i], w_kind),
+                take(win, jnp.full(shape, gnx * gil), w_nx),
+                take(win, jnp.full(shape, gny * gil), w_ny),
+                take(win, jnp.full(shape, gnz * gil), w_nz),
+                take(win, tri_ref[tb + 1, i], w_ar),
+                take(win, tri_ref[tb + 2, i], w_ag),
+                take(win, tri_ref[tb + 3, i], w_ab),
+                take(win, tri_ref[tb + 4, i], w_par),
+                take(win, tri_ref[tb + 5, i], w_er),
+                take(win, tri_ref[tb + 6, i], w_eg),
+                take(win, tri_ref[tb + 7, i], w_eb),
+            )
+
+        carry = carry0
+        UNROLL = 128  # full unroll below this prim count (counts are static)
+        for count, body in ((n_sph, sphere_body), (n_pla, plane_body),
+                            (n_tri, tri_body)):
+            if not count:
+                continue
+            if count <= UNROLL:
+                for i in range(count):
+                    carry = body(i, carry)
+            else:
+                carry = jax.lax.fori_loop(0, count, body, carry)
+        (best_t, w_kind, w_nx, w_ny, w_nz,
+         w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+
+        valid = w_kind >= 0.0
+
+        # ---- face the normal toward the ray (HitResult::setFaceNormal) ----
+        d_dot_n = dx * w_nx + dy * w_ny + dz * w_nz
+        front = d_dot_n < FLT_EPSILON
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx_, ny_, nz_ = w_nx * sgn, w_ny * sgn, w_nz * sgn
+
+        # ---- unit incoming direction ----
+        il = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+        ux, uy, uz = dx * il, dy * il, dz * il
+
+        # ---- shared azimuth (ops/materials.scatter parity) ----
+        two_pi = 6.283185307179586
+        phi = two_pi * u1
+        cos_phi = jnp.cos(phi)
+        sin_phi = jnp.sin(phi)
+
+        def azimuth(z):
+            r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+            return r * cos_phi, r * sin_phi, z
+
+        def normalize3(x, y, z):
+            inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+            return x * inv, y * inv, z * inv
+
+        # mirror = u - 2 dot(u, n) n
+        u_dot_n = ux * nx_ + uy * ny_ + uz * nz_
+        mx = ux - 2.0 * u_dot_n * nx_
+        my = uy - 2.0 * u_dot_n * ny_
+        mz = uz - 2.0 * u_dot_n * nz_
+
+        def is_kind(k):
+            return w_kind == float(k)
+
+        # ---- Lambertian ----
+        avx, avy, avz = azimuth(1.0 - 2.0 * u0)
+        if _use(LAMBERTIAN):
+            lrx, lry, lrz = nx_ + avx, ny_ + avy, nz_ + avz
+            nzero = (jnp.abs(lrx) < 1e-8) & (jnp.abs(lry) < 1e-8) & (jnp.abs(lrz) < 1e-8)
+            lrx = jnp.where(nzero, nx_, lrx)
+            lry = jnp.where(nzero, ny_, lry)
+            lrz = jnp.where(nzero, nz_, lrz)
+            sdx, sdy, sdz = normalize3(lrx, lry, lrz)
+        else:
+            sdx, sdy, sdz = nx_, ny_, nz_
+
+        # Tangent frame about an axis, shared azimuth (Frisvad/Pixar).
+        def frame_lobe(ax, ay, az, cos_t):
+            s = jnp.where(az >= 0.0, 1.0, -1.0)
+            a = -1.0 / (s + az)
+            b = ax * ay * a
+            t0x, t0y, t0z = 1.0 + s * ax * ax * a, s * b, -s * ax
+            t1x, t1y, t1z = b, s + ay * ay * a, -ay
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cp, sp = cos_phi * sin_t, sin_phi * sin_t
+            return (
+                t0x * cp + t1x * sp + ax * cos_t,
+                t0y * cp + t1y * sp + ay * cos_t,
+                t0z * cp + t1z * sp + az * cos_t,
+            )
+
+        white_atten = jnp.ones(shape, jnp.float32)
+        atr, atg, atb = w_ar, w_ag, w_ab
+        scattered = jnp.logical_not(is_kind(EMISSION))
+
+        # ---- Metal (fuzz ball + absorption) ----
+        if _use(METAL):
+            fuzz = jnp.minimum(w_par, 1.0)
+            ballr = jnp.exp(jnp.log(jnp.maximum(u2, 1e-12)) / 3.0)
+            bx, by, bz = avx * ballr, avy * ballr, avz * ballr
+            mrx = mx + fuzz * bx
+            mry = my + fuzz * by
+            mrz = mz + fuzz * bz
+            metal_ok = (mrx * nx_ + mry * ny_ + mrz * nz_) > 0.0
+            gx = jnp.where(metal_ok, mrx, mx)
+            gy = jnp.where(metal_ok, mry, my)
+            gz = jnp.where(metal_ok, mrz, mz)
+            gx, gy, gz = normalize3(gx, gy, gz)
+            sel = is_kind(METAL)
+            sdx = jnp.where(sel, gx, sdx)
+            sdy = jnp.where(sel, gy, sdy)
+            sdz = jnp.where(sel, gz, sdz)
+            okf = metal_ok.astype(jnp.float32)
+            atr = jnp.where(sel, w_ar * okf, atr)
+            atg = jnp.where(sel, w_ag * okf, atg)
+            atb = jnp.where(sel, w_ab * okf, atb)
+            scattered = scattered & jnp.logical_not(sel & jnp.logical_not(metal_ok))
+
+        # ---- Dielectric (Schlick + TIR) ----
+        if _use(DIELECTRIC):
+            sel = is_kind(DIELECTRIC)
+            ior = jnp.where(sel & (w_par > 0.0), w_par, 1.5)
+            eta = jnp.where(front, 1.0 / ior, ior)
+            cos_t = jnp.minimum(-(ux * nx_ + uy * ny_ + uz * nz_), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = eta * sin_t > 1.0
+            r0s = (1.0 - eta) / (1.0 + eta)
+            r0s = r0s * r0s
+            omc = 1.0 - cos_t
+            omc2 = omc * omc
+            rp = r0s + (1.0 - r0s) * omc2 * omc2 * omc
+            choose = cannot | (rp > u2)
+            # refract(u, n, eta): perp = eta (u + cos n); par = -sqrt(1-|perp|²) n
+            px_ = eta * (ux + cos_t * nx_)
+            py_ = eta * (uy + cos_t * ny_)
+            pz_ = eta * (uz + cos_t * nz_)
+            k = 1.0 - (px_ * px_ + py_ * py_ + pz_ * pz_)
+            pos = k > 0.0
+            rpar = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
+            fx = px_ - rpar * nx_
+            fy = py_ - rpar * ny_
+            fz = pz_ - rpar * nz_
+            gx = jnp.where(choose, mx, fx)
+            gy = jnp.where(choose, my, fy)
+            gz = jnp.where(choose, mz, fz)
+            gx, gy, gz = normalize3(gx, gy, gz)
+            sdx = jnp.where(sel, gx, sdx)
+            sdy = jnp.where(sel, gy, sdy)
+            sdz = jnp.where(sel, gz, sdz)
+            atr = jnp.where(sel, white_atten, atr)
+            atg = jnp.where(sel, white_atten, atg)
+            atb = jnp.where(sel, white_atten, atb)
+
+        # ---- Phong metal (Path B METAL) ----
+        if _use(PHONG_METAL):
+            sel = is_kind(PHONG_METAL)
+            pc = jnp.exp(
+                jnp.log(jnp.maximum(u0, 1e-12)) / (jnp.maximum(w_par, 0.0) + 1.0)
+            )
+            ax, ay, az = normalize3(mx, my, mz)
+            gx, gy, gz = frame_lobe(ax, ay, az, pc)
+            sdx = jnp.where(sel, gx, sdx)
+            sdy = jnp.where(sel, gy, sdy)
+            sdz = jnp.where(sel, gz, sdz)
+
+        # ---- Specular mirror (Path B) ----
+        if _use(SPECULAR):
+            sel = is_kind(SPECULAR)
+            gx, gy, gz = normalize3(mx, my, mz)
+            sdx = jnp.where(sel, gx, sdx)
+            sdy = jnp.where(sel, gy, sdy)
+            sdz = jnp.where(sel, gz, sdz)
+
+        # ---- Coat (Path B: 5% specular else diffuse cosine lobe) ----
+        if _use(COAT):
+            sel = is_kind(COAT)
+            spec = u2 < 0.05
+            ccos = jnp.sqrt(jnp.maximum(0.0, 1.0 - u0))
+            gx, gy, gz = frame_lobe(nx_, ny_, nz_, ccos)
+            gx = jnp.where(spec, mx, gx)
+            gy = jnp.where(spec, my, gy)
+            gz = jnp.where(spec, mz, gz)
+            sdx = jnp.where(sel, gx, sdx)
+            sdy = jnp.where(sel, gy, sdy)
+            sdz = jnp.where(sel, gz, sdz)
+            specf = spec.astype(jnp.float32)
+            atr = jnp.where(sel, specf + (1.0 - specf) * w_ar, atr)
+            atg = jnp.where(sel, specf + (1.0 - specf) * w_ag, atg)
+            atb = jnp.where(sel, specf + (1.0 - specf) * w_ab, atb)
+
+        # ---- smallpt refraction (Path B REFRACTION) ----
+        if _use(REFRACTION):
+            sel = is_kind(REFRACTION)
+            nt = jnp.where(sel & (w_par > 0.0), w_par, 1.5)
+            nnt = jnp.where(front, 1.0 / nt, nt)
+            ddn = ux * nx_ + uy * ny_ + uz * nz_
+            cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+            tir = cos2t < 0.0
+            cos_t = jnp.minimum(-ddn, 1.0)
+            px_ = nnt * (ux + cos_t * nx_)
+            py_ = nnt * (uy + cos_t * ny_)
+            pz_ = nnt * (uz + cos_t * nz_)
+            k = 1.0 - (px_ * px_ + py_ * py_ + pz_ * pz_)
+            pos = k > 0.0
+            rpar = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
+            tdx, tdy, tdz = normalize3(
+                px_ - rpar * nx_, py_ - rpar * ny_, pz_ - rpar * nz_
+            )
+            r0s = ((nt - 1.0) / (nt + 1.0)) ** 2
+            c1m = 1.0 - jnp.where(front, -ddn, tdx * nx_ + tdy * ny_ + tdz * nz_)
+            c1m2 = c1m * c1m
+            re = r0s + (1.0 - r0s) * c1m2 * c1m2 * c1m
+            prob = 0.25 + 0.5 * re
+            choose = tir | (u2 < prob)
+            nmx, nmy, nmz = normalize3(mx, my, mz)
+            gx = jnp.where(choose, nmx, tdx)
+            gy = jnp.where(choose, nmy, tdy)
+            gz = jnp.where(choose, nmz, tdz)
+            sdx = jnp.where(sel, gx, sdx)
+            sdy = jnp.where(sel, gy, sdy)
+            sdz = jnp.where(sel, gz, sdz)
+            w = jnp.where(
+                tir, 1.0, jnp.where(choose, re / prob, (1.0 - re) / (1.0 - prob))
+            )
+            atr = jnp.where(sel, w_ar * w, atr)
+            atg = jnp.where(sel, w_ag * w, atg)
+            atb = jnp.where(sel, w_ab * w, atb)
+
+        # ---- bookkeeping (integrator.trace parity) ----
+        miss = alive & jnp.logical_not(valid)
+        if sky:
+            t_sky = 0.5 * (uy + 1.0)
+            skyr = SKY_WHITE[0] + t_sky * (SKY_BLUE[0] - SKY_WHITE[0])
+            skyg = SKY_WHITE[1] + t_sky * (SKY_BLUE[1] - SKY_WHITE[1])
+            skyb = SKY_WHITE[2] + t_sky * (SKY_BLUE[2] - SKY_WHITE[2])
+            missf = miss.astype(jnp.float32)
+            rx = rx + missf * tpx * skyr
+            ry = ry + missf * tpy * skyg
+            rz = rz + missf * tpz * skyb
+
+        hitf = (alive & valid).astype(jnp.float32)
+        # Path B additive emission (zero rows for Path A materials).
+        rx = rx + hitf * tpx * w_er
+        ry = ry + hitf * tpy * w_eg
+        rz = rz + hitf * tpz * w_eb
+        if _use(EMISSION):
+            termf = (alive & valid & is_kind(EMISSION)).astype(jnp.float32)
+            rx = rx + termf * tpx * w_ar * w_par
+            ry = ry + termf * tpy * w_ag * w_par
+            rz = rz + termf * tpz * w_ab * w_par
+
+        cont = alive & valid & scattered
+        contf = cont.astype(jnp.float32)
+        ntpx = tpx * (1.0 - contf + contf * atr)
+        ntpy = tpy * (1.0 - contf + contf * atg)
+        ntpz = tpz * (1.0 - contf + contf * atb)
+
+        if russian_roulette:
+            do_rr = do_rr_ref[0] != 0
+            p = jnp.clip(jnp.maximum(jnp.maximum(ntpx, ntpy), ntpz), 0.05, 1.0)
+            survive = jnp.logical_not(do_rr) | (u3 < p)
+            boost = cont & do_rr & survive
+            bf = boost.astype(jnp.float32)
+            inv_p = 1.0 / p
+            ntpx = ntpx * (1.0 - bf + bf * inv_p)
+            ntpy = ntpy * (1.0 - bf + bf * inv_p)
+            ntpz = ntpz * (1.0 - bf + bf * inv_p)
+            cont = cont & survive
+            contf = cont.astype(jnp.float32)
+
+        safe_t = jnp.where(valid, best_t, 0.0)
+        oox_ref[0] = jnp.where(cont, ox + safe_t * dx, ox)
+        ooy_ref[0] = jnp.where(cont, oy + safe_t * dy, oy)
+        ooz_ref[0] = jnp.where(cont, oz + safe_t * dz, oz)
+        odx_ref[0] = jnp.where(cont, sdx, dx)
+        ody_ref[0] = jnp.where(cont, sdy, dy)
+        odz_ref[0] = jnp.where(cont, sdz, dz)
+        otpx_ref[0] = ntpx
+        otpy_ref[0] = ntpy
+        otpz_ref[0] = ntpz
+        orx_ref[0] = rx
+        ory_ref[0] = ry
+        orz_ref[0] = rz
+        oalive_ref[0] = cont.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("counts", "base_rows", "tmin", "backface_cull", "sky",
+                     "used_kinds", "russian_roulette", "interpret"),
+)
+def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows, tmin,
+                backface_cull, sky, used_kinds, russian_roulette, interpret):
+    (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz) = ray_state
+    sph, pla, tri = packed_arrays
+    n = ox.shape[0]
+    n_blocks = n // RAY_BLOCK
+    rows = RAY_BLOCK // 128
+
+    def rs(a):
+        return a.reshape(n_blocks, rows, 128)
+
+    kern = functools.partial(
+        _bounce_kernel,
+        n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
+        tmin=tmin, backface_cull=backface_cull, sky=sky,
+        used_kinds=used_kinds, russian_roulette=russian_roulette,
+        sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
+    )
+    ray_spec = pl.BlockSpec(
+        (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[smem_spec] + [ray_spec] * 18 + [smem_spec] * 3,
+        out_specs=[ray_spec] * 13,
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32)] * 12
+            + [jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.int32)]
+        ),
+        interpret=interpret,
+    )(
+        do_rr,
+        rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(tm),
+        rs(alive),
+        rs(u4[:, 0]), rs(u4[:, 1]), rs(u4[:, 2]), rs(u4[:, 3]),
+        rs(tpx), rs(tpy), rs(tpz), rs(rx), rs(ry), rs(rz),
+        sph, pla, tri,
+    )
+    return tuple(o.reshape(n) for o in outs)
+
+
+@jax.custom_vjp
+def _forward_only(tree):
+    """Identity that FAILS LOUDLY under reverse-mode AD.
+
+    A plain stop_gradient here would silently return zero gradients to
+    anyone differentiating a fused-bounce render; this raises instead,
+    pointing at cfg.fused_bounce=False (the XLA wavefront path).
+    """
+    return tree
+
+
+def _forward_only_fwd(tree):
+    return tree, None
+
+
+def _forward_only_bwd(_, ct):
+    raise NotImplementedError(
+        "cfg.fused_bounce=True renders with the forward-only Pallas bounce "
+        "megastep; set fused_bounce=False for differentiable rendering "
+        "(the XLA wavefront path)."
+    )
+
+
+_forward_only.defvjp(_forward_only_fwd, _forward_only_bwd)
+
+
+def planar_state(rays):
+    """Split a Rays wavefront into the kernel's planar (N_pad,) carry tuple.
+
+    TPU lane-pads the minor dim of (N, 3) arrays to 128, so wavefront state
+    crossing HBM as (N, 3) wastes bandwidth; the bounce scan therefore
+    carries 14 flat (N_pad,) arrays (RAY_BLOCK-padded) and the caller stacks
+    radiance back only once per sample.
+
+    Returns (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz).
+    """
+    n = rays.count
+    n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
+
+    def pad(a):
+        return jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
+
+    zeros = jnp.zeros((n_pad,), rays.origin.dtype)
+    ones = jnp.ones((n_pad,), rays.origin.dtype)
+    alive = jnp.pad(jnp.ones((n,), jnp.int32), (0, n_pad - n)) \
+        if n_pad != n else jnp.ones((n,), jnp.int32)
+    return (
+        pad(rays.origin[:, 0]), pad(rays.origin[:, 1]), pad(rays.origin[:, 2]),
+        pad(rays.direction[:, 0]), pad(rays.direction[:, 1]),
+        pad(rays.direction[:, 2]),
+        pad(rays.time),
+        alive,
+        ones, ones, ones,                   # throughput
+        zeros, zeros, zeros,                # radiance
+    )
+
+
+def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
+    """One fused bounce over the planar carry from `planar_state`.
+
+    `state` = (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz),
+    all (N_pad,). Returns the same tuple advanced one bounce. `u4` is the
+    (N, 4) per-bounce uniform block (same stream as the XLA path); `do_rr`
+    a scalar int32 (Russian roulette active this bounce).
+    """
+    n_pad = state[0].shape[0]
+    if u4.shape[0] != n_pad:
+        u4 = jnp.pad(u4, ((0, n_pad - u4.shape[0]), (0, 0)))
+    base_rows = (
+        packed_shaded.spheres.shape[0] - MAT_ROWS,
+        packed_shaded.planes.shape[0] - MAT_ROWS,
+        packed_shaded.triangles.shape[0] - MAT_ROWS,
+    )
+    state, u4, arrays = _forward_only(
+        (state, u4,
+         (packed_shaded.spheres, packed_shaded.planes,
+          packed_shaded.triangles))
+    )
+    tm = state[6]
+    outs = _run_bounce(
+        state,
+        u4,
+        jnp.asarray([do_rr], jnp.int32),
+        arrays,
+        packed_shaded.counts, base_rows, float(cfg.tmin),
+        True, bool(cfg.sky_background), packed_shaded.used_kinds,
+        bool(cfg.russian_roulette), bool(interpret),
+    )
+    (ox, oy, oz, dx, dy, dz, tpx, tpy, tpz, rx, ry, rz, alive_i) = outs
+    return (ox, oy, oz, dx, dy, dz, tm, alive_i,
+            tpx, tpy, tpz, rx, ry, rz)
+
+
+__all__ = ["bounce_step", "planar_state", "pack_scene_shaded", "MAT_ROWS"]

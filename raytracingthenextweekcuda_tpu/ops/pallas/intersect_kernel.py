@@ -64,7 +64,8 @@ class PackedScene:
     from updated parameters on-device every iteration.
     """
 
-    def __init__(self, spheres, planes, triangles, counts, used_kinds=None):
+    def __init__(self, spheres, planes, triangles, counts, used_kinds=None,
+                 shaded=False):
         self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
         self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
         self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
@@ -72,17 +73,21 @@ class PackedScene:
         # Static set of material kinds present in the scene; the BSDF
         # compiles only these branches (None = all kinds).
         self.used_kinds = used_kinds
+        # True when each type array carries the 8 material-attribute rows
+        # appended by bounce_kernel.pack_scene_shaded (the fused-bounce
+        # megastep needs them; this kernel ignores the extra rows).
+        self.shaded = shaded
 
     def tree_flatten(self):
         return (
             (self.spheres, self.planes, self.triangles),
-            (self.counts, self.used_kinds),
+            (self.counts, self.used_kinds, self.shaded),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        counts, used_kinds = aux
-        return cls(*children, counts, used_kinds)
+        counts, used_kinds, shaded = aux
+        return cls(*children, counts, used_kinds, shaded)
 
 
 def _pad128(n: int) -> int:

@@ -9,6 +9,7 @@ collectives in the model code.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -22,6 +23,9 @@ from raytracingthenextweekcuda_tpu.parallel.render import render_pass_sharded
 
 def make_loss(params_to_scene, camera, cfg: RenderConfig, mesh: Mesh, spp: int):
     """Build loss(params, target, key) = MSE(sharded render, target)."""
+    # Gradients flow through the XLA wavefront path; the fused Pallas bounce
+    # megastep is forward-only (ops/pallas/bounce_kernel.py).
+    cfg = dataclasses.replace(cfg, fused_bounce=False)
 
     def loss(params, target, key):
         scene = params_to_scene(params)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,37 +48,59 @@ class Scene(NamedTuple):
     packed: Optional[object] = None
 
 
-def finalize(scene: Scene, use_bvh: bool | None = None, bvh_threshold: int = 8192) -> Scene:
+def finalize(scene: Scene, use_bvh: bool | None = None,
+             bvh_threshold: int = 1024) -> Scene:
     """Prepare a built scene for rendering: pack primitives for the fused
-    Pallas kernel and optionally build the LBVH for large meshes.
+    kernels, building the tile-BVH for large meshes.
 
     `use_bvh=None` auto-selects: brute-force fused kernel below
-    `bvh_threshold` triangles (on TPU the tiled brute kernel beats
-    gather-heavy traversal for small meshes), LBVH above.
-    """
-    from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import pack_scene
+    `bvh_threshold` triangles, tile-BVH (ops/bvh_tile.py — block-consensus
+    skip-pointer traversal inside the bounce megastep) above. With a
+    tile-BVH the triangle arrays are permuted into leaf-tile order (padded
+    with degenerate never-hit slots), so winner indices agree between the
+    selection kernel, the megastep and the differentiable recompute.
 
+    The LBVH/SAH + XLA traversal stack (ops/bvh.py, ops/traverse.py,
+    native/) remains available by setting scene.bvh explicitly — it is the
+    per-ray formulation, used by tests and the CPU oracle; on TPU the
+    megastep's block-consensus traversal is ~100x faster because it never
+    gathers per-lane.
+    """
     if use_bvh is None:
         use_bvh = scene.triangles.count > bvh_threshold
+    tile_bvh = None
     if use_bvh and scene.triangles.count >= 2:
-        from raytracingthenextweekcuda_tpu import native
-        from raytracingthenextweekcuda_tpu.ops.bvh import build_bvh
-
-        if native.available():
-            # Native binned-SAH: better tree quality, same array contract.
-            scene = scene._replace(bvh=native.build_sah_bvh(scene.triangles))
-        else:
-            scene = scene._replace(bvh=build_bvh(scene.triangles))
-    # With a BVH the fused kernel handles only the analytic primitives.
-    if scene.bvh is None:
-        # Shaded pack (base rows + per-prim material rows): serves both the
-        # selection kernel and the fused bounce megastep.
-        from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
-            pack_scene_shaded,
+        from raytracingthenextweekcuda_tpu.ops.bvh_tile import (
+            build_tile_bvh,
+            permute_rows,
         )
 
-        return scene._replace(packed=pack_scene_shaded(scene))
-    return scene._replace(packed=pack_scene(scene, include_triangles=False))
+        tri = scene.triangles
+        tile_bvh = build_tile_bvh(np.asarray(jax.device_get(tri.vertices)))
+        perm = tile_bvh.perm
+        valid = perm >= 0
+        Tp = perm.shape[0]
+        verts = np.zeros((Tp, 3, 3), np.float32)
+        verts[valid] = np.asarray(jax.device_get(tri.vertices))[perm[valid]]
+        mat_id = np.zeros((Tp,), np.int32)
+        mat_id[valid] = np.asarray(jax.device_get(tri.material_id))[perm[valid]]
+        mesh_id = np.full((Tp,), -1, np.int32)
+        mesh_id[valid] = np.asarray(jax.device_get(tri.mesh_id))[perm[valid]]
+        scene = scene._replace(
+            triangles=tri._replace(
+                vertices=jnp.asarray(verts),
+                material_id=jnp.asarray(mat_id),
+                mesh_id=jnp.asarray(mesh_id),
+            )
+        )
+
+    # Shaded pack (base rows + per-prim material rows): serves both the
+    # selection kernel and the fused bounce megastep.
+    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+        pack_scene_shaded,
+    )
+
+    return scene._replace(packed=pack_scene_shaded(scene, tile_bvh))
 
 
 class SceneBuilder:

@@ -69,6 +69,8 @@ SKY_BLUE = (0.5, 0.7, 1.0)
 # primitive array by pack_scene_shaded: kind, albedo rgb, param, emission rgb.
 MAT_ROWS = 8
 
+_LANE_MAX = 2**30  # winner-lane sentinel for the leaf-tile argmin
+
 
 def _mat_rows(materials, material_id):
     """(8, P) material-attribute rows for per-primitive material ids."""
@@ -86,7 +88,7 @@ def _mat_rows(materials, material_id):
     )
 
 
-def pack_scene_shaded(scene):
+def pack_scene_shaded(scene, tile_bvh=None):
     """PackedScene whose per-type arrays carry 8 extra material rows.
 
     Layout: base rows from intersect_kernel.pack_scene (spheres 10,
@@ -94,6 +96,11 @@ def pack_scene_shaded(scene):
     The base rows are bit-identical to pack_scene's, so intersect_packed
     consumers could share this array; it is kept separate to avoid
     repacking costs showing up on the differentiable path.
+
+    `tile_bvh` (ops/bvh_tile.TileBVH): when given, scene.triangles is
+    ASSUMED already permuted into the BVH's leaf-tile order (models.scene.
+    finalize does this), and the node arrays ride along for the megastep's
+    block-consensus traversal.
     """
     from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
         PackedScene,
@@ -109,6 +116,14 @@ def pack_scene_shaded(scene):
             rows = rows.at[:, :count].set(_mat_rows(scene.materials, prim.material_id))
         return jnp.concatenate([arr, rows], axis=0)
 
+    bvh_bounds = bvh_meta = None
+    if tile_bvh is not None:
+        assert tile_bvh.padded_tri_count == T, (
+            f"triangles ({T}) not in tile order ({tile_bvh.padded_tri_count})"
+        )
+        bvh_bounds = jnp.asarray(tile_bvh.bounds, jnp.float32)
+        bvh_meta = jnp.asarray(tile_bvh.meta, jnp.int32)
+
     return PackedScene(
         extend(base.spheres, scene.spheres, S),
         extend(base.planes, scene.planes, P),
@@ -116,6 +131,8 @@ def pack_scene_shaded(scene):
         base.counts,
         base.used_kinds,
         shaded=True,
+        bvh_bounds=bvh_bounds,
+        bvh_meta=bvh_meta,
     )
 
 
@@ -124,10 +141,10 @@ def _bounce_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
     u0_ref, u1_ref, u2_ref, u3_ref,
     tpx_ref, tpy_ref, tpz_ref, rx_ref, ry_ref, rz_ref,
-    sph_ref, pla_ref, tri_ref,
+    sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
     oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
     otpx_ref, otpy_ref, otpz_ref, orx_ref, ory_ref, orz_ref, oalive_ref,
-    *, n_sph: int, n_pla: int, n_tri: int, tmin: float,
+    *, n_sph: int, n_pla: int, n_tri: int, n_bvh_nodes: int, tmin: float,
     backface_cull: bool, sky: bool, used_kinds, russian_roulette: bool,
     sb: int, pb: int, tb: int,
 ):
@@ -293,8 +310,10 @@ def _bounce_kernel(
 
         carry = carry0
         UNROLL = 128  # full unroll below this prim count (counts are static)
-        for count, body in ((n_sph, sphere_body), (n_pla, plane_body),
-                            (n_tri, tri_body)):
+        bodies = [(n_sph, sphere_body), (n_pla, plane_body)]
+        if not n_bvh_nodes:
+            bodies.append((n_tri, tri_body))
+        for count, body in bodies:
             if not count:
                 continue
             if count <= UNROLL:
@@ -302,6 +321,136 @@ def _bounce_kernel(
                     carry = body(i, carry)
             else:
                 carry = jax.lax.fori_loop(0, count, body, carry)
+
+        if n_bvh_nodes:
+            # ---- block-consensus skip-pointer BVH over lane-tile leaves ----
+            # All 1024 rays walk the SAME DFS node sequence (scalar control
+            # flow, bounds in SMEM); a subtree is skipped when no live ray
+            # hits its AABB. A leaf is one 128-triangle lane tile evaluated
+            # vectorially (rays (8,128,1) x tris (1,1,128)). See
+            # ops/bvh_tile.py for why per-ray stacks don't map to TPU.
+            o1 = lambda v: v[..., None]
+            eps_d = 1e-20
+            sdx = jnp.where(jnp.abs(dx) < eps_d,
+                            jnp.where(dx >= 0.0, eps_d, -eps_d), dx)
+            sdy = jnp.where(jnp.abs(dy) < eps_d,
+                            jnp.where(dy >= 0.0, eps_d, -eps_d), dy)
+            sdz = jnp.where(jnp.abs(dz) < eps_d,
+                            jnp.where(dz >= 0.0, eps_d, -eps_d), dz)
+            inv_dx, inv_dy, inv_dz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+            lane_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (shape[0], shape[1], 128), 2
+            )
+
+            def tri_row(row, tile):
+                return tri_ref[row, pl.ds(pl.multiple_of(tile, 128), 128)][
+                    None, None, :
+                ]
+
+            def leaf_visit(tile, node_hit, carry):
+                (best_t, w_kind, w_nx, w_ny, w_nz,
+                 w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+                e1x, e1y, e1z = (tri_row(3, tile), tri_row(4, tile),
+                                 tri_row(5, tile))
+                e2x, e2y, e2z = (tri_row(6, tile), tri_row(7, tile),
+                                 tri_row(8, tile))
+                px = o1(dy) * e2z - o1(dz) * e2y
+                py = o1(dz) * e2x - o1(dx) * e2z
+                pz = o1(dx) * e2y - o1(dy) * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                if backface_cull:
+                    okt = det > FLT_EPSILON
+                else:
+                    okt = jnp.abs(det) > FLT_EPSILON
+                inv = 1.0 / jnp.where(okt, det, 1.0)
+                txx = o1(ox) - tri_row(0, tile)
+                tyy = o1(oy) - tri_row(1, tile)
+                tzz = o1(oz) - tri_row(2, tile)
+                u = (txx * px + tyy * py + tzz * pz) * inv
+                qx = tyy * e1z - tzz * e1y
+                qy = tzz * e1x - txx * e1z
+                qz = txx * e1y - tyy * e1x
+                v = (o1(dx) * qx + o1(dy) * qy + o1(dz) * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                hit = (
+                    okt & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                    & (u + v <= 1.0) & (t > tmin) & (t < o1(best_t))
+                    & o1(node_hit)
+                )
+                t_masked = jnp.where(hit, t, BIG)
+                tile_best = jnp.min(t_masked, axis=-1)      # (ROWS, 128)
+                improved = tile_best < best_t
+                is_best = hit & (t_masked <= o1(tile_best))
+                win_lane = jnp.min(
+                    jnp.where(is_best, lane_iota, _LANE_MAX), axis=-1
+                )
+                sel = is_best & (lane_iota == o1(win_lane))
+
+                def extract(row3):
+                    return jnp.sum(jnp.where(sel, row3, 0.0), axis=-1)
+
+                gnx = e1y * e2z - e1z * e2y
+                gny = e1z * e2x - e1x * e2z
+                gnz = e1x * e2y - e1y * e2x
+                gil = jax.lax.rsqrt(
+                    jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, 1e-30)
+                )
+                return (
+                    jnp.where(improved, tile_best, best_t),
+                    jnp.where(improved, extract(tri_row(tb + 0, tile)), w_kind),
+                    jnp.where(improved, extract(gnx * gil), w_nx),
+                    jnp.where(improved, extract(gny * gil), w_ny),
+                    jnp.where(improved, extract(gnz * gil), w_nz),
+                    jnp.where(improved, extract(tri_row(tb + 1, tile)), w_ar),
+                    jnp.where(improved, extract(tri_row(tb + 2, tile)), w_ag),
+                    jnp.where(improved, extract(tri_row(tb + 3, tile)), w_ab),
+                    jnp.where(improved, extract(tri_row(tb + 4, tile)), w_par),
+                    jnp.where(improved, extract(tri_row(tb + 5, tile)), w_er),
+                    jnp.where(improved, extract(tri_row(tb + 6, tile)), w_eg),
+                    jnp.where(improved, extract(tri_row(tb + 7, tile)), w_eb),
+                )
+
+            def t_cond(c):
+                return c[0] < n_bvh_nodes
+
+            def t_body(c):
+                node = c[0]
+                carry = c[1:]
+                best_t = carry[0]
+                lo_x, lo_y, lo_z = (bvh_b_ref[0, node], bvh_b_ref[1, node],
+                                    bvh_b_ref[2, node])
+                hi_x, hi_y, hi_z = (bvh_b_ref[3, node], bvh_b_ref[4, node],
+                                    bvh_b_ref[5, node])
+                t0 = (lo_x - ox) * inv_dx
+                t1 = (hi_x - ox) * inv_dx
+                tn = jnp.minimum(t0, t1)
+                tf = jnp.maximum(t0, t1)
+                t0 = (lo_y - oy) * inv_dy
+                t1 = (hi_y - oy) * inv_dy
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                t0 = (lo_z - oz) * inv_dz
+                t1 = (hi_z - oz) * inv_dz
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                node_hit = (tf >= tn) & (tf >= tmin) & (tn < best_t) & alive
+                any_hit = jnp.any(node_hit)
+                is_leaf = bvh_m_ref[0, node] == 1
+                tile = bvh_m_ref[1, node]
+                skip = bvh_m_ref[2, node]
+                carry = jax.lax.cond(
+                    any_hit & is_leaf,
+                    lambda cr: leaf_visit(tile, node_hit, cr),
+                    lambda cr: cr,
+                    carry,
+                )
+                nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
+                                node + 1, skip)
+                return (nxt, *carry)
+
+            out = jax.lax.while_loop(t_cond, t_body, (jnp.int32(0), *carry))
+            carry = out[1:]
+
         (best_t, w_kind, w_nx, w_ny, w_nz,
          w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
 
@@ -564,13 +713,15 @@ def _bounce_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("counts", "base_rows", "tmin", "backface_cull", "sky",
-                     "used_kinds", "russian_roulette", "interpret"),
+    static_argnames=("counts", "base_rows", "n_bvh_nodes", "tmin",
+                     "backface_cull", "sky", "used_kinds",
+                     "russian_roulette", "interpret"),
 )
-def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows, tmin,
-                backface_cull, sky, used_kinds, russian_roulette, interpret):
+def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows,
+                n_bvh_nodes, tmin, backface_cull, sky, used_kinds,
+                russian_roulette, interpret):
     (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz) = ray_state
-    sph, pla, tri = packed_arrays
+    sph, pla, tri, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
     rows = RAY_BLOCK // 128
@@ -581,6 +732,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows, tmin,
     kern = functools.partial(
         _bounce_kernel,
         n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
+        n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
         sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
@@ -589,10 +741,18 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows, tmin,
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # Brute path reads triangles one scalar at a time (SMEM); the traversal
+    # path streams 128-wide leaf tiles with dynamic starts (VMEM).
+    tri_spec = pl.BlockSpec(
+        memory_space=pltpu.VMEM if n_bvh_nodes else pltpu.SMEM
+    )
     outs = pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[smem_spec] + [ray_spec] * 18 + [smem_spec] * 3,
+        in_specs=(
+            [smem_spec] + [ray_spec] * 18
+            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec]
+        ),
         out_specs=[ray_spec] * 13,
         out_shape=(
             [jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32)] * 12
@@ -605,7 +765,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows, tmin,
         rs(alive),
         rs(u4[:, 0]), rs(u4[:, 1]), rs(u4[:, 2]), rs(u4[:, 3]),
         rs(tpx), rs(tpy), rs(tpz), rs(rx), rs(ry), rs(rz),
-        sph, pla, tri,
+        sph, pla, tri, bvh_b, bvh_m,
     )
     return tuple(o.reshape(n) for o in outs)
 
@@ -683,10 +843,16 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
         packed_shaded.planes.shape[0] - MAT_ROWS,
         packed_shaded.triangles.shape[0] - MAT_ROWS,
     )
+    bvh_b = packed_shaded.bvh_bounds
+    bvh_m = packed_shaded.bvh_meta
+    n_bvh_nodes = 0 if bvh_b is None else int(bvh_b.shape[1])
+    if bvh_b is None:
+        bvh_b = jnp.zeros((6, 1), jnp.float32)
+        bvh_m = jnp.zeros((3, 1), jnp.int32)
     state, u4, arrays = _forward_only(
         (state, u4,
          (packed_shaded.spheres, packed_shaded.planes,
-          packed_shaded.triangles))
+          packed_shaded.triangles, bvh_b, bvh_m))
     )
     tm = state[6]
     outs = _run_bounce(
@@ -694,7 +860,7 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
         u4,
         jnp.asarray([do_rr], jnp.int32),
         arrays,
-        packed_shaded.counts, base_rows, float(cfg.tmin),
+        packed_shaded.counts, base_rows, n_bvh_nodes, float(cfg.tmin),
         True, bool(cfg.sky_background), packed_shaded.used_kinds,
         bool(cfg.russian_roulette), bool(interpret),
     )

@@ -65,7 +65,7 @@ class PackedScene:
     """
 
     def __init__(self, spheres, planes, triangles, counts, used_kinds=None,
-                 shaded=False):
+                 shaded=False, bvh_bounds=None, bvh_meta=None):
         self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
         self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
         self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
@@ -77,17 +77,25 @@ class PackedScene:
         # appended by bounce_kernel.pack_scene_shaded (the fused-bounce
         # megastep needs them; this kernel ignores the extra rows).
         self.shaded = shaded
+        # Tile-BVH node arrays for the megastep's block-consensus traversal
+        # (ops/bvh_tile.py): (6, M) f32 bounds + (3, M) i32 meta, or None.
+        # Triangle columns are then in leaf-tile order.
+        self.bvh_bounds = bvh_bounds
+        self.bvh_meta = bvh_meta
 
     def tree_flatten(self):
         return (
-            (self.spheres, self.planes, self.triangles),
+            (self.spheres, self.planes, self.triangles,
+             self.bvh_bounds, self.bvh_meta),
             (self.counts, self.used_kinds, self.shaded),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         counts, used_kinds, shaded = aux
-        return cls(*children, counts, used_kinds, shaded)
+        spheres, planes, triangles, bvh_bounds, bvh_meta = children
+        return cls(spheres, planes, triangles, counts, used_kinds, shaded,
+                   bvh_bounds, bvh_meta)
 
 
 def _pad128(n: int) -> int:

@@ -13,11 +13,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from raytracingthenextweekcuda_tpu.config import DTYPE
-from raytracingthenextweekcuda_tpu.ops import linalg, sampling
+from raytracingthenextweekcuda_tpu.ops import linalg, rng
 from raytracingthenextweekcuda_tpu.ops.rays import Rays
 
 
@@ -106,21 +105,24 @@ def derive(camera: Camera, aspect_ratio: float) -> CameraFrame:
     )
 
 
-def per_pixel_keys(pass_key, pixel_ids: jnp.ndarray):
-    """Counter-based per-ray PRNG keys: fold_in(pass_key, pixel_id).
+def ray_context(pass_key, pixel_ids: jnp.ndarray) -> rng.RayCtx:
+    """Counter-based per-ray RNG context: (pixel_id, key words).
 
     This replaces curand's per-pixel sequence (curand_init(1984, pixel),
     main.cu:127) with a stateless derivation — a ray's randomness depends
     only on (seed, pass, pixel), never on which device traces it, which
     makes tile-sharded renders bit-identical to single-device renders.
+    The pass/sample key collapses to its two uint32 words once per
+    wavefront; all per-ray draws are then pcg4d hashes (ops/rng.py).
     """
-    return jax.vmap(lambda i: jax.random.fold_in(pass_key, i))(pixel_ids)
+    base0, base1 = rng.key_bases(pass_key)
+    return rng.RayCtx(pixel_ids.astype(jnp.uint32), base0, base1)
 
 
 def generate_rays(
     frame: CameraFrame, pass_key, width: int, height: int,
     pixel_ids: jnp.ndarray | None = None,
-) -> Rays:
+) -> tuple[Rays, rng.RayCtx]:
     """One jittered primary ray per pixel of `pixel_ids` (default: all
     pixels, flattened row-major, y=0 at the image bottom — the Canvas PNG
     writer flips vertically, Canvas.h:141-154).
@@ -129,12 +131,15 @@ def generate_rays(
     dy=(y+v)/(height-1) (main.cu:179-183) and getRay's lens-disk offset +
     shutter-time draw (Camera.h:151-168). Directions are normalized (the
     reference normalizes primary-ray directions too, Camera.h:166).
+
+    Returns (rays, ctx) where ctx is the RayCtx the integrator uses for
+    per-bounce draws.
     """
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
-    keys = per_pixel_keys(pass_key, pixel_ids)
+    ctx = ray_context(pass_key, pixel_ids)
     # 5 uniforms per ray: pixel jitter (2), lens disk (2), shutter time (1).
-    u = jax.vmap(lambda k: jax.random.uniform(k, (5,), dtype=DTYPE))(keys)
+    u = rng.raygen_uniforms(ctx)
 
     xs = (pixel_ids % width).astype(DTYPE)
     ys = (pixel_ids // width).astype(DTYPE)
@@ -156,4 +161,4 @@ def generate_rays(
     )
     direction = linalg.normalize(direction)
     time = u[:, 4] * (frame.time1 - frame.time0) + frame.time0
-    return Rays(origin=origin, direction=direction, time=time), keys
+    return Rays(origin=origin, direction=direction, time=time), ctx

@@ -30,7 +30,7 @@ from raytracingthenextweekcuda_tpu.config import INFINITY, RenderConfig
 from raytracingthenextweekcuda_tpu.models import camera as camera_mod
 from raytracingthenextweekcuda_tpu.models.film import Film
 from raytracingthenextweekcuda_tpu.models.scene import Scene
-from raytracingthenextweekcuda_tpu.ops import intersect, linalg
+from raytracingthenextweekcuda_tpu.ops import intersect, linalg, rng
 from raytracingthenextweekcuda_tpu.ops.materials import scatter
 from raytracingthenextweekcuda_tpu.ops.rays import Hit, Rays, closer
 
@@ -101,7 +101,7 @@ def intersect_scene(scene: Scene, rays: Rays, tmin, tmax, alive=None) -> Hit:
     return hit
 
 
-def _trace_fused(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
+def _trace_fused(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
     """Fused-bounce trace: each bounce is ONE Pallas megastep
     (ops/pallas/bounce_kernel.py) over planar wavefront state. Consumes the
     same per-(pixel, bounce) RNG stream as the XLA path below, so the two
@@ -113,15 +113,11 @@ def _trace_fused(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.n
     )
 
     n = rays.count
-    dtype = rays.origin.dtype
     interpret = jax.default_backend() == "cpu"
     state = planar_state(rays)
 
     def bounce(state, bounce_idx):
-        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, bounce_idx + 1))(ray_keys)
-        u4 = jax.vmap(
-            lambda k: jax.random.uniform(k, (4,), dtype=dtype)
-        )(bkeys)
+        u4 = rng.bounce_uniforms(ctx, bounce_idx)
         do_rr = (bounce_idx >= cfg.rr_start_bounce).astype(jnp.int32)
         return bounce_step(
             scene, scene.packed, state, u4, do_rr, cfg, interpret=interpret,
@@ -168,15 +164,15 @@ def _fused_eligible(scene: Scene, cfg: RenderConfig) -> bool:
     )
 
 
-def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
+def trace(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
     """Path-trace a wavefront to completion. Returns radiance (N, 3).
 
-    `ray_keys` are per-ray counter-based keys (camera.per_pixel_keys); each
-    bounce folds the bounce index in, so every random draw is a pure function
-    of (seed, pass, pixel, bounce) — independent of device placement.
+    `ctx` is the per-ray RNG context (camera.ray_context); each bounce hashes
+    the bounce index in, so every random draw is a pure function of
+    (seed, pass, pixel, bounce) — independent of device placement.
     """
     if _fused_eligible(scene, cfg):
-        return _trace_fused(scene, rays, ray_keys, cfg)
+        return _trace_fused(scene, rays, ctx, cfg)
 
     n = rays.count
     dtype = rays.origin.dtype
@@ -190,7 +186,6 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
 
     def bounce(state, bounce_idx):
         rays_b, throughput, radiance, alive = state
-        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, bounce_idx + 1))(ray_keys)
 
         hit = intersect_scene(scene, rays_b, cfg.tmin, INFINITY, alive=alive)
         mat = scene.materials.gather(hit.material_id)
@@ -198,10 +193,8 @@ def trace(scene: Scene, rays: Rays, ray_keys, cfg: RenderConfig) -> jnp.ndarray:
         used_kinds = getattr(scene.packed, "used_kinds", None)
         # One (N, 4) uniform block per bounce covers every scatter draw
         # (slots 0-2, see ops.materials.scatter) plus Russian roulette
-        # (slot 3) — a single threefry sweep instead of one per draw.
-        u4 = jax.vmap(
-            lambda k: jax.random.uniform(k, (4,), dtype=dtype)
-        )(bkeys)
+        # (slot 3) — a single pcg4d sweep instead of one hash per draw.
+        u4 = rng.bounce_uniforms(ctx, bounce_idx)
         scat = scatter(u4, rays_b, hit, mat, used_kinds)
 
         if cfg.sky_background:

@@ -102,36 +102,22 @@ def intersect_scene(scene: Scene, rays: Rays, tmin, tmax, alive=None) -> Hit:
 
 
 def _trace_fused(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
-    """Fused-bounce trace: each bounce is ONE Pallas megastep
-    (ops/pallas/bounce_kernel.py) over planar wavefront state. Consumes the
-    same per-(pixel, bounce) RNG stream as the XLA path below, so the two
-    engines agree to float tolerance. Forward-only (see cfg.fused_bounce).
+    """Fused-path trace: the ENTIRE bounce loop runs in ONE Pallas kernel
+    (ops/pallas/bounce_kernel._path_kernel) — wavefront state stays in VMEM
+    across bounces, per-bounce uniforms are generated in-register, and each
+    1024-ray block exits the loop as soon as all its rays terminate.
+    Consumes the same per-(pixel, bounce) pcg4d stream as the XLA path
+    below, so the two engines agree to float tolerance. Forward-only (see
+    cfg.fused_bounce).
     """
     from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
-        bounce_step,
-        planar_state,
+        path_trace,
     )
 
-    n = rays.count
     interpret = jax.default_backend() == "cpu"
-    state = planar_state(rays)
-
-    def bounce(state, bounce_idx):
-        u4 = rng.bounce_uniforms(ctx, bounce_idx)
-        do_rr = (bounce_idx >= cfg.rr_start_bounce).astype(jnp.int32)
-        return bounce_step(
-            scene, scene.packed, state, u4, do_rr, cfg, interpret=interpret,
-        )
-
-    def bounce_or_skip(state, bounce_idx):
-        return jax.lax.cond(
-            jnp.any(state[7] != 0),
-            lambda s: bounce(s, bounce_idx), lambda s: s, state,
-        ), None
-
-    state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(cfg.bounces))
-    rx, ry, rz = state[11], state[12], state[13]
-    radiance = jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
+    radiance = path_trace(
+        scene, scene.packed, rays, ctx, cfg, interpret=interpret
+    )
 
     # Grad guard. pack_scene stop-gradients the packed arrays (the selection
     # kernel needs that on the differentiable path), so differentiating a

@@ -136,40 +136,28 @@ def pack_scene_shaded(scene, tile_bvh=None):
     )
 
 
-def _bounce_kernel(
-    do_rr_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
-    u0_ref, u1_ref, u2_ref, u3_ref,
-    tpx_ref, tpy_ref, tpz_ref, rx_ref, ry_ref, rz_ref,
+def _bounce_core(
+    ox, oy, oz, dx, dy, dz, tm, alive,
+    tpx, tpy, tpz, rx, ry, rz,
+    u0, u1, u2, u3, do_rr,
     sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
-    oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
-    otpx_ref, otpy_ref, otpz_ref, orx_ref, ory_ref, orz_ref, oalive_ref,
     *, n_sph: int, n_pla: int, n_tri: int, n_bvh_nodes: int, tmin: float,
     backface_cull: bool, sky: bool, used_kinds, russian_roulette: bool,
     sb: int, pb: int, tb: int,
 ):
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    tm = tm_ref[0]
-    alive = alive_ref[0] != 0
-    shape = ox.shape
+    """One whole bounce on in-register wavefront values.
 
-    # Pass-through defaults (dead block: state is copied unchanged).
-    oox_ref[0] = ox; ooy_ref[0] = oy; ooz_ref[0] = oz
-    odx_ref[0] = dx; ody_ref[0] = dy; odz_ref[0] = dz
-    otpx_ref[0] = tpx_ref[0]; otpy_ref[0] = tpy_ref[0]; otpz_ref[0] = tpz_ref[0]
-    orx_ref[0] = rx_ref[0]; ory_ref[0] = ry_ref[0]; orz_ref[0] = rz_ref[0]
-    oalive_ref[0] = jnp.zeros(shape, jnp.int32)
+    Shared by the per-bounce megastep kernel (`_bounce_kernel`) and the
+    whole-path kernel (`_path_kernel`). All args are (rows, 128) arrays
+    except `do_rr` (traced bool scalar) and the scene refs. Returns the
+    advanced state tuple (ox..dz, tpx..z, rx..z, cont_bool).
+    """
+    shape = ox.shape
 
     def _use(k):
         return used_kinds is None or k in used_kinds
 
-    @pl.when(jnp.any(alive))
-    def _():
-        tpx, tpy, tpz = tpx_ref[0], tpy_ref[0], tpz_ref[0]
-        rx, ry, rz = rx_ref[0], ry_ref[0], rz_ref[0]
-        u0, u1, u2, u3 = u0_ref[0], u1_ref[0], u2_ref[0], u3_ref[0]
-
+    if True:  # keep the original body's indentation
         best_t = jnp.full(shape, BIG, jnp.float32)
         zero = jnp.zeros(shape, jnp.float32)
         a = dx * dx + dy * dy + dz * dz  # |d|^2, ray-invariant across prims
@@ -683,7 +671,6 @@ def _bounce_kernel(
         ntpz = tpz * (1.0 - contf + contf * atb)
 
         if russian_roulette:
-            do_rr = do_rr_ref[0] != 0
             p = jnp.clip(jnp.maximum(jnp.maximum(ntpx, ntpy), ntpz), 0.05, 1.0)
             survive = jnp.logical_not(do_rr) | (u3 < p)
             boost = cont & do_rr & survive
@@ -696,19 +683,117 @@ def _bounce_kernel(
             contf = cont.astype(jnp.float32)
 
         safe_t = jnp.where(valid, best_t, 0.0)
-        oox_ref[0] = jnp.where(cont, ox + safe_t * dx, ox)
-        ooy_ref[0] = jnp.where(cont, oy + safe_t * dy, oy)
-        ooz_ref[0] = jnp.where(cont, oz + safe_t * dz, oz)
-        odx_ref[0] = jnp.where(cont, sdx, dx)
-        ody_ref[0] = jnp.where(cont, sdy, dy)
-        odz_ref[0] = jnp.where(cont, sdz, dz)
-        otpx_ref[0] = ntpx
-        otpy_ref[0] = ntpy
-        otpz_ref[0] = ntpz
-        orx_ref[0] = rx
-        ory_ref[0] = ry
-        orz_ref[0] = rz
-        oalive_ref[0] = cont.astype(jnp.int32)
+        return (
+            jnp.where(cont, ox + safe_t * dx, ox),
+            jnp.where(cont, oy + safe_t * dy, oy),
+            jnp.where(cont, oz + safe_t * dz, oz),
+            jnp.where(cont, sdx, dx),
+            jnp.where(cont, sdy, dy),
+            jnp.where(cont, sdz, dz),
+            ntpx, ntpy, ntpz,
+            rx, ry, rz,
+            cont,
+        )
+
+
+def _bounce_kernel(
+    do_rr_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
+    u0_ref, u1_ref, u2_ref, u3_ref,
+    tpx_ref, tpy_ref, tpz_ref, rx_ref, ry_ref, rz_ref,
+    sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
+    oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+    otpx_ref, otpy_ref, otpz_ref, orx_ref, ory_ref, orz_ref, oalive_ref,
+    **consts,
+):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tm_ref[0]
+    alive = alive_ref[0] != 0
+    shape = ox.shape
+
+    # Pass-through defaults (dead block: state is copied unchanged).
+    oox_ref[0] = ox; ooy_ref[0] = oy; ooz_ref[0] = oz
+    odx_ref[0] = dx; ody_ref[0] = dy; odz_ref[0] = dz
+    otpx_ref[0] = tpx_ref[0]; otpy_ref[0] = tpy_ref[0]; otpz_ref[0] = tpz_ref[0]
+    orx_ref[0] = rx_ref[0]; ory_ref[0] = ry_ref[0]; orz_ref[0] = rz_ref[0]
+    oalive_ref[0] = jnp.zeros(shape, jnp.int32)
+
+    @pl.when(jnp.any(alive))
+    def _():
+        out = _bounce_core(
+            ox, oy, oz, dx, dy, dz, tm, alive,
+            tpx_ref[0], tpy_ref[0], tpz_ref[0],
+            rx_ref[0], ry_ref[0], rz_ref[0],
+            u0_ref[0], u1_ref[0], u2_ref[0], u3_ref[0],
+            do_rr_ref[0] != 0,
+            sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
+            **consts,
+        )
+        (oox_ref[0], ooy_ref[0], ooz_ref[0],
+         odx_ref[0], ody_ref[0], odz_ref[0],
+         otpx_ref[0], otpy_ref[0], otpz_ref[0],
+         orx_ref[0], ory_ref[0], orz_ref[0]) = out[:12]
+        oalive_ref[0] = out[12].astype(jnp.int32)
+
+
+def _path_kernel(
+    base_ref,
+    pid_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    alive_ref,
+    sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
+    orx_ref, ory_ref, orz_ref,
+    *, bounces: int, rr_start: int, **consts,
+):
+    """Whole-path megastep: the full bounce loop in ONE kernel.
+
+    Wavefront state never leaves VMEM between bounces, per-bounce uniforms
+    are pcg4d hashes of (pixel_id, key words, bounce) computed in-register
+    (bit-identical to the XLA path's ops/rng.bounce_uniforms), and the loop
+    exits as soon as every ray in the 1024-ray block has terminated —
+    a per-block early-out instead of the scan's whole-wavefront consensus.
+    """
+    from raytracingthenextweekcuda_tpu.ops.rng import pcg4d, to_uniform
+
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tm_ref[0]
+    alive = alive_ref[0] != 0
+    shape = ox.shape
+    pid = pid_ref[0].astype(jnp.uint32)
+    base0 = base_ref[0].astype(jnp.uint32)
+    base1 = base_ref[1].astype(jnp.uint32)
+    b0 = jnp.full(shape, base0, jnp.uint32)
+    b1 = jnp.full(shape, base1, jnp.uint32)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    # The live mask is carried as i32: Mosaic cannot legalize a
+    # vector<8x128xi1> while-loop carry.
+    init = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+            one, one, one, zero, zero, zero, alive.astype(jnp.int32))
+
+    def cond(c):
+        return (c[0] < bounces) & (jnp.max(c[13]) > 0)
+
+    def body(c):
+        (b, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz, rx, ry, rz, alive_i) = c
+        cnt = jnp.full(shape, jnp.uint32(1), jnp.uint32) + b.astype(jnp.uint32)
+        h0, h1, h2, h3 = pcg4d(pid, b0, cnt, b1)
+        out = _bounce_core(
+            ox, oy, oz, dx, dy, dz, tm, alive_i != 0,
+            tpx, tpy, tpz, rx, ry, rz,
+            to_uniform(h0), to_uniform(h1), to_uniform(h2), to_uniform(h3),
+            b >= rr_start,
+            sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
+            **consts,
+        )
+        return (b + 1, *out[:12], out[12].astype(jnp.int32))
+
+    final = jax.lax.while_loop(cond, body, init)
+    orx_ref[0] = final[10]
+    ory_ref[0] = final[11]
+    orz_ref[0] = final[12]
 
 
 @functools.partial(
@@ -768,6 +853,111 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows,
         sph, pla, tri, bvh_b, bvh_m,
     )
     return tuple(o.reshape(n) for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("counts", "base_rows", "n_bvh_nodes", "tmin",
+                     "backface_cull", "sky", "used_kinds",
+                     "russian_roulette", "bounces", "rr_start", "interpret"),
+)
+def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
+              packed_arrays, counts, base_rows, n_bvh_nodes, tmin,
+              backface_cull, sky, used_kinds, russian_roulette,
+              bounces, rr_start, interpret):
+    sph, pla, tri, bvh_b, bvh_m = packed_arrays
+    n = ox.shape[0]
+    n_blocks = n // RAY_BLOCK
+    rows = RAY_BLOCK // 128
+
+    def rs(a):
+        return a.reshape(n_blocks, rows, 128)
+
+    kern = functools.partial(
+        _path_kernel,
+        bounces=bounces, rr_start=rr_start,
+        n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
+        n_bvh_nodes=n_bvh_nodes,
+        tmin=tmin, backface_cull=backface_cull, sky=sky,
+        used_kinds=used_kinds, russian_roulette=russian_roulette,
+        sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
+    )
+    ray_spec = pl.BlockSpec(
+        (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tri_spec = pl.BlockSpec(
+        memory_space=pltpu.VMEM if n_bvh_nodes else pltpu.SMEM
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=(
+            [smem_spec] + [ray_spec] * 9
+            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec]
+        ),
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32)] * 3,
+        interpret=interpret,
+    )(
+        bases,
+        rs(pid), rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(tmv),
+        rs(alive),
+        sph, pla, tri, bvh_b, bvh_m,
+    )
+    return tuple(o.reshape(n) for o in outs)
+
+
+def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
+    """Trace a whole wavefront to completion in ONE kernel dispatch.
+
+    Returns radiance (N, 3). `ctx` is the ops/rng.RayCtx from
+    camera.generate_rays — the kernel regenerates each bounce's uniforms
+    in-register from it, consuming the exact stream the XLA path does.
+    """
+    n = rays.count
+    n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
+
+    def pad(a, val=0):
+        return jnp.pad(a, (0, n_pad - n), constant_values=val) \
+            if n_pad != n else a
+
+    base_rows = (
+        packed_shaded.spheres.shape[0] - MAT_ROWS,
+        packed_shaded.planes.shape[0] - MAT_ROWS,
+        packed_shaded.triangles.shape[0] - MAT_ROWS,
+    )
+    bvh_b = packed_shaded.bvh_bounds
+    bvh_m = packed_shaded.bvh_meta
+    n_bvh_nodes = 0 if bvh_b is None else int(bvh_b.shape[1])
+    if bvh_b is None:
+        bvh_b = jnp.zeros((6, 1), jnp.float32)
+        bvh_m = jnp.zeros((3, 1), jnp.int32)
+
+    pid = pad(ctx.pixel_id).astype(jnp.int32)
+    alive = pad(jnp.ones((n,), jnp.int32))
+    bases = jnp.stack(
+        [ctx.base0.astype(jnp.int32), ctx.base1.astype(jnp.int32)]
+    )
+
+    inputs, arrays = _forward_only(
+        ((pad(rays.origin[:, 0]), pad(rays.origin[:, 1]),
+          pad(rays.origin[:, 2]),
+          pad(rays.direction[:, 0]), pad(rays.direction[:, 1]),
+          pad(rays.direction[:, 2]), pad(rays.time)),
+         (packed_shaded.spheres, packed_shaded.planes,
+          packed_shaded.triangles, bvh_b, bvh_m))
+    )
+    ox, oy, oz, dx, dy, dz, tmv = inputs
+    rx, ry, rz = _run_path(
+        pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
+        arrays,
+        packed_shaded.counts, base_rows, n_bvh_nodes, float(cfg.tmin),
+        True, bool(cfg.sky_background), packed_shaded.used_kinds,
+        bool(cfg.russian_roulette), int(cfg.bounces),
+        int(cfg.rr_start_bounce), bool(interpret),
+    )
+    return jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
 
 
 @jax.custom_vjp
@@ -869,4 +1059,5 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
             tpx, tpy, tpz, rx, ry, rz)
 
 
-__all__ = ["bounce_step", "planar_state", "pack_scene_shaded", "MAT_ROWS"]
+__all__ = ["bounce_step", "path_trace", "planar_state", "pack_scene_shaded",
+           "MAT_ROWS"]

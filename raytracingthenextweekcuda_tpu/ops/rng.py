@@ -33,7 +33,9 @@ from typing import NamedTuple
 RAYGEN_DOMAIN = jnp.uint32(0x9E3779B9)
 RAYGEN_DOMAIN2 = jnp.uint32(0x85EBCA6B)
 
-_U24_INV = jnp.float32(1.0 / 16777216.0)  # 2^-24
+# Plain Python float: a jnp constant would be a captured tracer when this
+# runs inside a Pallas kernel (to_uniform is shared by both engines).
+_U24_INV = 1.0 / 16777216.0  # 2^-24, exactly representable
 
 
 class RayCtx(NamedTuple):
@@ -80,8 +82,12 @@ def pcg4d(a, b, c, d):
 
 
 def to_uniform(u):
-    """uint32 -> float32 in [0, 1): top 24 bits scaled by 2^-24."""
-    return (u >> jnp.uint32(8)).astype(jnp.float32) * _U24_INV
+    """uint32 -> float32 in [0, 1): top 24 bits scaled by 2^-24.
+
+    The uint32 is shifted into [0, 2^24) and converted via int32 — Mosaic
+    (Pallas TPU) has no uint32->f32 cast, and the value fits in int32.
+    """
+    return (u >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * _U24_INV
 
 
 def uniforms4(ctx: RayCtx, counter) -> jnp.ndarray:

@@ -101,6 +101,30 @@ def intersect_scene(scene: Scene, rays: Rays, tmin, tmax, alive=None) -> Hit:
     return hit
 
 
+def _grad_probe(scene: Scene) -> jnp.ndarray:
+    """Grad guard for the forward-only fused engines.
+
+    pack_scene stop-gradients the packed arrays (the selection kernel needs
+    that on the differentiable path), so differentiating a fused render wrt
+    scene parameters would SILENTLY yield zero gradients. This probe is
+    exactly 0.0 in the primal but carries the scene-parameter tangents into
+    a custom_vjp whose bwd raises, pointing at cfg.fused_bounce=False.
+    """
+    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+        _forward_only,
+    )
+
+    probe = sum(
+        jnp.sum(leaf)
+        for leaf in jax.tree_util.tree_leaves(
+            (scene.spheres, scene.planes, scene.triangles, scene.materials)
+        )
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+    probe = _forward_only(probe)
+    return probe - jax.lax.stop_gradient(probe)
+
+
 def _trace_fused(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
     """Fused-path trace: the ENTIRE bounce loop runs in ONE Pallas kernel
     (ops/pallas/bounce_kernel._path_kernel) — wavefront state stays in VMEM
@@ -118,26 +142,7 @@ def _trace_fused(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarra
     radiance = path_trace(
         scene, scene.packed, rays, ctx, cfg, interpret=interpret
     )
-
-    # Grad guard. pack_scene stop-gradients the packed arrays (the selection
-    # kernel needs that on the differentiable path), so differentiating a
-    # fused-bounce render wrt scene parameters would SILENTLY yield zero
-    # gradients. This probe is exactly 0.0 in the primal but carries the
-    # scene-parameter tangents into a custom_vjp whose bwd raises, pointing
-    # at cfg.fused_bounce=False.
-    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
-        _forward_only,
-    )
-
-    probe = sum(
-        jnp.sum(leaf)
-        for leaf in jax.tree_util.tree_leaves(
-            (scene.spheres, scene.planes, scene.triangles, scene.materials)
-        )
-        if jnp.issubdtype(leaf.dtype, jnp.floating)
-    )
-    probe = _forward_only(probe)
-    return radiance + (probe - jax.lax.stop_gradient(probe))
+    return radiance + _grad_probe(scene)
 
 
 def _fused_eligible(scene: Scene, cfg: RenderConfig) -> bool:
@@ -254,9 +259,26 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
     Samples run as a `lax.scan` so HBM holds one wavefront at a time
     regardless of spp — the analogue of the reference's per-frame 1-spp
     progressive loop (main.cu:883-885), batched per pass.
+
+    When the scene is fused-eligible the ENTIRE pass (raygen + all samples
+    + all bounces) runs as ONE whole-render Pallas kernel instead
+    (ops/pallas/bounce_kernel.render_samples) — per-sample wavefront state
+    never touches HBM.
     """
     frame = camera_mod.derive(camera, cfg.aspect_ratio)
     sample_keys = jax.random.split(key, samples)
+
+    if _fused_eligible(scene, cfg):
+        from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+            render_samples,
+        )
+
+        accum = render_samples(
+            scene, scene.packed, frame, sample_keys, cfg,
+            interpret=jax.default_backend() == "cpu",
+        )
+        accum = accum + _grad_probe(scene)
+        return accum.reshape(cfg.height, cfg.width, 3)
 
     def one_sample(accum, skey):
         rays, ray_keys = camera_mod.generate_rays(frame, skey, cfg.width, cfg.height)

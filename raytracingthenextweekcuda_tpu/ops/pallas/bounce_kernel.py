@@ -88,7 +88,111 @@ def _mat_rows(materials, material_id):
     )
 
 
-def pack_scene_shaded(scene, tile_bvh=None):
+def _merge_parallelograms(verts, mat_id):
+    """Detect coplanar triangle pairs that form parallelograms.
+
+    A pair qualifies when it shares an edge, the two opposite vertices are
+    reflections through the edge midpoint (within 1e-5 relative), both
+    triangles carry the same material, and their windings agree (so
+    backface culling is preserved). Each merged pair costs ONE quad
+    intersection in the megastep instead of two triangle tests — the same
+    spirit as the reference's precomputed v0/E1/E2 ladder step
+    (images/images.MD:44-53), applied at the representation level.
+
+    Returns (q_v0, q_e1, q_e2, q_mat, rest_idx): quad parallelogram frames
+    (points v0 + u*e1 + v*e2, u,v in [0,1]) and indices of unmerged tris.
+    """
+    import numpy as np
+
+    T = verts.shape[0]
+    edge_map: dict = {}
+    for t in range(T):
+        for k in range(3):
+            a = verts[t, k].tobytes()
+            b = verts[t, (k + 1) % 3].tobytes()
+            key = (a, b) if a < b else (b, a)
+            edge_map.setdefault(key, []).append((t, (k + 2) % 3))
+    used = np.zeros(T, bool)
+    q_v0, q_e1, q_e2, q_mat = [], [], [], []
+    for lst in edge_map.values():
+        if len(lst) != 2:
+            continue
+        (t1, o1), (t2, o2) = lst
+        if t1 == t2 or used[t1] or used[t2] or mat_id[t1] != mat_id[t2]:
+            continue
+        p1, p2 = verts[t1, o1], verts[t2, o2]
+        a = verts[t1, (o1 + 1) % 3]
+        b = verts[t1, (o1 + 2) % 3]
+        scale = max(float(np.abs(verts[t1]).max()), 1e-6)
+        if np.abs((a + b - p1) - p2).max() > 1e-5 * scale:
+            continue
+        n1 = np.cross(verts[t1, 1] - verts[t1, 0], verts[t1, 2] - verts[t1, 0])
+        n2 = np.cross(verts[t2, 1] - verts[t2, 0], verts[t2, 2] - verts[t2, 0])
+        if np.dot(n1, n2) <= 0.0:  # inconsistent winding: culling would change
+            continue
+        e1, e2 = a - p1, b - p1
+        if np.dot(n1, np.cross(e1, e2)) < 0.0:
+            e1, e2 = e2, e1
+        used[t1] = used[t2] = True
+        q_v0.append(p1)
+        q_e1.append(e1)
+        q_e2.append(e2)
+        q_mat.append(mat_id[t1])
+    rest = np.nonzero(~used)[0]
+    return (
+        np.asarray(q_v0, np.float32).reshape(-1, 3),
+        np.asarray(q_e1, np.float32).reshape(-1, 3),
+        np.asarray(q_e2, np.float32).reshape(-1, 3),
+        np.asarray(q_mat, np.int32).reshape(-1),
+        rest,
+    )
+
+
+# Number of geometry rows in a Havel-packed tri/quad array (before MAT_ROWS).
+HAVEL_ROWS = 12
+
+
+def _pack_havel(v0, e1, e2, mat_id, materials):
+    """(K, 3) parallelogram/triangle frames -> (20, pad128) Havel rows.
+
+    Rows: unit normal (3), plane offset dc = n̂·v0, edge plane 1 (3) + d1,
+    edge plane 2 (3) + d2, then the 8 material-attribute rows. The hit test
+    is then t = (dc - n̂·o)/(n̂·d); u = e1p·h + d1; v = e2p·h + d2 — the
+    same precomputed-plane formulation the reference bakes per triangle
+    (Loader.cpp:189-201, consumed CUDAPathTracer.cu:294-326), at 2/3 the
+    vector-op count of in-loop Möller–Trumbore.
+    """
+    import numpy as np
+
+    from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
+        _pad128,
+    )
+
+    K = v0.shape[0]
+    out = np.zeros((HAVEL_ROWS, _pad128(K)), np.float32)
+    if K:
+        n = np.cross(e1, e2)
+        nn = np.maximum((n * n).sum(-1, keepdims=True), 1e-30)
+        n_unit = n / np.sqrt(nn)
+        e1p = np.cross(e2, n) / nn
+        e2p = np.cross(n, e1) / nn
+        out[0:3, :K] = n_unit.T
+        out[3, :K] = (n_unit * v0).sum(-1)
+        out[4:7, :K] = e1p.T
+        out[7, :K] = -(e1p * v0).sum(-1)
+        out[8:11, :K] = e2p.T
+        out[11, :K] = -(e2p * v0).sum(-1)
+    # Padding columns: n̂ = 0 -> dn = 0 -> gate fails, never hit.
+    arr = jnp.asarray(out)
+    rows = jnp.zeros((MAT_ROWS, arr.shape[1]), arr.dtype)
+    if K:
+        rows = rows.at[:, :K].set(
+            _mat_rows(materials, jnp.asarray(mat_id, jnp.int32))
+        )
+    return jnp.concatenate([arr, rows], axis=0)
+
+
+def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
     """PackedScene whose per-type arrays carry 8 extra material rows.
 
     Layout: base rows from intersect_kernel.pack_scene (spheres 10,
@@ -97,11 +201,19 @@ def pack_scene_shaded(scene, tile_bvh=None):
     consumers could share this array; it is kept separate to avoid
     repacking costs showing up on the differentiable path.
 
+    Brute-force meshes (no tile_bvh) additionally get Havel-packed
+    geometry (`trih`/`quadh`, see _pack_havel) with parallelogram pairs
+    merged into quads (`merge_quads`) — the megastep's fast path. Skipped
+    under jit (tracer vertices): the megastep then falls back to in-loop
+    Möller–Trumbore on the base rows.
+
     `tile_bvh` (ops/bvh_tile.TileBVH): when given, scene.triangles is
     ASSUMED already permuted into the BVH's leaf-tile order (models.scene.
     finalize does this), and the node arrays ride along for the megastep's
     block-consensus traversal.
     """
+    import numpy as np
+
     from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
         PackedScene,
         pack_scene,
@@ -124,6 +236,29 @@ def pack_scene_shaded(scene, tile_bvh=None):
         bvh_bounds = jnp.asarray(tile_bvh.bounds, jnp.float32)
         bvh_meta = jnp.asarray(tile_bvh.meta, jnp.int32)
 
+    trih = quadh = None
+    hcounts = (0, 0)
+    if tile_bvh is None and T:
+        try:
+            verts = np.asarray(jax.device_get(scene.triangles.vertices))
+            mids = np.asarray(jax.device_get(scene.triangles.material_id))
+        except jax.errors.TracerArrayConversionError:
+            verts = None
+        if verts is not None:
+            if merge_quads:
+                qv0, qe1, qe2, qmat, rest = _merge_parallelograms(verts, mids)
+            else:
+                qv0 = qe1 = qe2 = np.zeros((0, 3), np.float32)
+                qmat = np.zeros((0,), np.int32)
+                rest = np.arange(T)
+            v0 = verts[rest, 0]
+            trih = _pack_havel(
+                v0, verts[rest, 1] - v0, verts[rest, 2] - v0,
+                mids[rest], scene.materials,
+            )
+            quadh = _pack_havel(qv0, qe1, qe2, qmat, scene.materials)
+            hcounts = (int(rest.shape[0]), int(qmat.shape[0]))
+
     return PackedScene(
         extend(base.spheres, scene.spheres, S),
         extend(base.planes, scene.planes, P),
@@ -133,6 +268,9 @@ def pack_scene_shaded(scene, tile_bvh=None):
         shaded=True,
         bvh_bounds=bvh_bounds,
         bvh_meta=bvh_meta,
+        trih=trih,
+        quadh=quadh,
+        hcounts=hcounts,
     )
 
 
@@ -140,8 +278,9 @@ def _bounce_core(
     ox, oy, oz, dx, dy, dz, tm, alive,
     tpx, tpy, tpz, rx, ry, rz,
     u0, u1, u2, u3, do_rr,
-    sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
-    *, n_sph: int, n_pla: int, n_tri: int, n_bvh_nodes: int, tmin: float,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    *, n_sph: int, n_pla: int, n_tri: int, n_trih: int, n_quad: int,
+    n_bvh_nodes: int, tmin: float,
     backface_cull: bool, sky: bool, used_kinds, russian_roulette: bool,
     sb: int, pb: int, tb: int,
 ):
@@ -296,11 +435,63 @@ def _bounce_core(
                 take(win, tri_ref[tb + 7, i], w_eb),
             )
 
+        def make_havel_body(ref, hb, quad):
+            """Precomputed plane + edge-plane test (reference parity:
+            Loader.cpp:189-201 precompute, CUDAPathTracer.cu:294-326 test).
+            `quad` statically selects the parallelogram uv bound."""
+
+            def h_body(i, carry):
+                (best_t, w_kind, w_nx, w_ny, w_nz,
+                 w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+                nx, ny, nz = ref[0, i], ref[1, i], ref[2, i]
+                dn = dx * nx + dy * ny + dz * nz
+                if backface_cull:
+                    ok = dn < -FLT_EPSILON
+                else:
+                    ok = jnp.abs(dn) > FLT_EPSILON
+                inv = 1.0 / jnp.where(ok, dn, 1.0)
+                t = (ref[3, i] - (ox * nx + oy * ny + oz * nz)) * inv
+                hx = ox + t * dx
+                hy = oy + t * dy
+                hz = oz + t * dz
+                u = ref[4, i] * hx + ref[5, i] * hy + ref[6, i] * hz + ref[7, i]
+                v = ref[8, i] * hx + ref[9, i] * hy + ref[10, i] * hz + ref[11, i]
+                if quad:
+                    uv_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+                else:
+                    uv_ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                win = ok & uv_ok & (t > tmin) & (t < best_t)
+                return (
+                    take(win, t, best_t),
+                    take(win, ref[hb + 0, i], w_kind),
+                    take(win, jnp.full(shape, nx), w_nx),
+                    take(win, jnp.full(shape, ny), w_ny),
+                    take(win, jnp.full(shape, nz), w_nz),
+                    take(win, ref[hb + 1, i], w_ar),
+                    take(win, ref[hb + 2, i], w_ag),
+                    take(win, ref[hb + 3, i], w_ab),
+                    take(win, ref[hb + 4, i], w_par),
+                    take(win, ref[hb + 5, i], w_er),
+                    take(win, ref[hb + 6, i], w_eg),
+                    take(win, ref[hb + 7, i], w_eb),
+                )
+
+            return h_body
+
         carry = carry0
         UNROLL = 128  # full unroll below this prim count (counts are static)
         bodies = [(n_sph, sphere_body), (n_pla, plane_body)]
         if not n_bvh_nodes:
-            bodies.append((n_tri, tri_body))
+            if n_trih or n_quad:
+                # Havel fast path: quad-merged precomputed-plane tests.
+                bodies.append(
+                    (n_trih, make_havel_body(trih_ref, HAVEL_ROWS, False))
+                )
+                bodies.append(
+                    (n_quad, make_havel_body(quad_ref, HAVEL_ROWS, True))
+                )
+            else:
+                bodies.append((n_tri, tri_body))
         for count, body in bodies:
             if not count:
                 continue
@@ -701,7 +892,7 @@ def _bounce_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
     u0_ref, u1_ref, u2_ref, u3_ref,
     tpx_ref, tpy_ref, tpz_ref, rx_ref, ry_ref, rz_ref,
-    sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
     oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
     otpx_ref, otpy_ref, otpz_ref, orx_ref, ory_ref, orz_ref, oalive_ref,
     **consts,
@@ -727,7 +918,8 @@ def _bounce_kernel(
             rx_ref[0], ry_ref[0], rz_ref[0],
             u0_ref[0], u1_ref[0], u2_ref[0], u3_ref[0],
             do_rr_ref[0] != 0,
-            sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
+            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref,
+            bvh_b_ref, bvh_m_ref,
             **consts,
         )
         (oox_ref[0], ooy_ref[0], ooz_ref[0],
@@ -737,35 +929,24 @@ def _bounce_kernel(
         oalive_ref[0] = out[12].astype(jnp.int32)
 
 
-def _path_kernel(
-    base_ref,
-    pid_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-    alive_ref,
-    sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
-    orx_ref, ory_ref, orz_ref,
+def _trace_sample(
+    pid, b0, b1, ox, oy, oz, dx, dy, dz, tm, alive,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
     *, bounces: int, rr_start: int, **consts,
 ):
-    """Whole-path megastep: the full bounce loop in ONE kernel.
+    """Trace one wavefront sample to completion in-register.
 
     Wavefront state never leaves VMEM between bounces, per-bounce uniforms
     are pcg4d hashes of (pixel_id, key words, bounce) computed in-register
     (bit-identical to the XLA path's ops/rng.bounce_uniforms), and the loop
     exits as soon as every ray in the 1024-ray block has terminated —
     a per-block early-out instead of the scan's whole-wavefront consensus.
+
+    All vector args are (rows, 128); pid/b0/b1 uint32. Returns (rx, ry, rz).
     """
     from raytracingthenextweekcuda_tpu.ops.rng import pcg4d, to_uniform
 
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    tm = tm_ref[0]
-    alive = alive_ref[0] != 0
     shape = ox.shape
-    pid = pid_ref[0].astype(jnp.uint32)
-    base0 = base_ref[0].astype(jnp.uint32)
-    base1 = base_ref[1].astype(jnp.uint32)
-    b0 = jnp.full(shape, base0, jnp.uint32)
-    b1 = jnp.full(shape, base1, jnp.uint32)
-
     zero = jnp.zeros(shape, jnp.float32)
     one = jnp.ones(shape, jnp.float32)
     # The live mask is carried as i32: Mosaic cannot legalize a
@@ -785,28 +966,153 @@ def _path_kernel(
             tpx, tpy, tpz, rx, ry, rz,
             to_uniform(h0), to_uniform(h1), to_uniform(h2), to_uniform(h3),
             b >= rr_start,
-            sph_ref, pla_ref, tri_ref, bvh_b_ref, bvh_m_ref,
+            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref,
+            bvh_b_ref, bvh_m_ref,
             **consts,
         )
         return (b + 1, *out[:12], out[12].astype(jnp.int32))
 
     final = jax.lax.while_loop(cond, body, init)
-    orx_ref[0] = final[10]
-    ory_ref[0] = final[11]
-    orz_ref[0] = final[12]
+    return final[10], final[11], final[12]
+
+
+def _path_kernel(
+    base_ref,
+    pid_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+    alive_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    orx_ref, ory_ref, orz_ref,
+    *, bounces: int, rr_start: int, **consts,
+):
+    """Whole-path megastep: the full bounce loop in ONE kernel."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tm_ref[0]
+    alive = alive_ref[0] != 0
+    shape = ox.shape
+    pid = pid_ref[0].astype(jnp.uint32)
+    b0 = jnp.full(shape, base_ref[0].astype(jnp.uint32), jnp.uint32)
+    b1 = jnp.full(shape, base_ref[1].astype(jnp.uint32), jnp.uint32)
+
+    orx_ref[0], ory_ref[0], orz_ref[0] = _trace_sample(
+        pid, b0, b1, ox, oy, oz, dx, dy, dz, tm, alive,
+        sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+        bounces=bounces, rr_start=rr_start, **consts,
+    )
+
+
+def _raygen_core(pid, xs, ys, b0, b1, frame_ref, *, width: int, height: int):
+    """In-register thin-lens ray generation (camera.generate_rays parity).
+
+    Consumes the exact pcg4d stream of ops/rng.raygen_uniforms and the same
+    arithmetic as models/camera.generate_rays, so the fused whole-render
+    kernel and the XLA path produce identical primary rays. `frame_ref` is
+    the 21-float SMEM camera frame packed by `_pack_frame`.
+
+    Returns (ox, oy, oz, dx, dy, dz, tm), all (rows, 128) f32.
+    """
+    from raytracingthenextweekcuda_tpu.ops.rng import pcg4d, to_uniform
+
+    shape = xs.shape
+    # Python int literals of ops/rng.RAYGEN_DOMAIN/RAYGEN_DOMAIN2 (the jnp
+    # module constants would be captured tracers inside a Pallas kernel).
+    dom = jnp.full(shape, 0x9E3779B9, jnp.uint32)
+    dom2 = jnp.full(shape, 0x85EBCA6B, jnp.uint32)
+    h0, h1, h2, h3 = pcg4d(pid, b0, dom, b1)
+    u0, u1, u2, u3 = (to_uniform(h0), to_uniform(h1),
+                      to_uniform(h2), to_uniform(h3))
+    t0h, _, _, _ = pcg4d(pid, b0, dom2, b1)
+    u4 = to_uniform(t0h)
+
+    f = lambda i: frame_ref[i]
+    # Pixel sample placement dx=(x+u)/(width-1) (main.cu:179-183).
+    dxs = (xs + u0) / (width - 1.0)
+    dys = (ys + u1) / (height - 1.0)
+
+    # Closed-form lens disk (Utils.h:96-104) scaled by lens radius.
+    r = jnp.sqrt(u2)
+    phi = 6.283185307179586 * u3
+    disk_x = f(18) * r * jnp.cos(phi)
+    disk_y = f(18) * r * jnp.sin(phi)
+
+    ox = f(0) + disk_x * f(12) + disk_y * f(15)
+    oy = f(1) + disk_x * f(13) + disk_y * f(16)
+    oz = f(2) + disk_x * f(14) + disk_y * f(17)
+
+    dx = f(3) + dxs * f(6) + dys * f(9) - ox
+    dy = f(4) + dxs * f(7) + dys * f(10) - oy
+    dz = f(5) + dxs * f(8) + dys * f(11) - oz
+    # Safe normalize, same formula as ops/linalg.normalize (sqrt + divide).
+    nsq = dx * dx + dy * dy + dz * dz
+    pos = nsq > 0.0
+    inv = jnp.where(pos, 1.0 / jnp.sqrt(jnp.where(pos, nsq, 1.0)), 0.0)
+    tm = u4 * (f(20) - f(19)) + f(19)
+    return ox, oy, oz, dx * inv, dy * inv, dz * inv, tm
+
+
+def _render_kernel(
+    bases_ref, frame_ref,
+    pid_ref, xs_ref, ys_ref, alive_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    orx_ref, ory_ref, orz_ref,
+    *, n_samples: int, width: int, height: int,
+    bounces: int, rr_start: int, **consts,
+):
+    """Whole-RENDER megastep: raygen + ALL spp + ALL bounces in ONE kernel.
+
+    The spp loop moves inside the kernel: per 1024-ray block, a fori_loop
+    over samples generates the thin-lens primary ray in-register
+    (_raygen_core) and traces it to completion (_trace_sample), accumulating
+    radiance in VMEM. HBM traffic for an entire render pass = read pixel
+    ids/coords once + write 3 radiance planes once — per-sample wavefront
+    state NEVER touches HBM. This removed the former per-sample raygen
+    dispatch (1.77 ms of a 2.72 ms/sample render: (N, 3) vector math
+    lane-pads 42x on TPU).
+
+    bases_ref: SMEM (2, S) int32 — per-sample jax.random key words, so the
+    RNG stream is exactly the XLA path's (split(key, S) then per-ray pcg4d).
+    """
+    pid = pid_ref[0].astype(jnp.uint32)
+    xs = xs_ref[0]
+    ys = ys_ref[0]
+    alive0 = alive_ref[0] != 0
+    shape = xs.shape
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def sample_body(s, acc):
+        arx, ary, arz = acc
+        b0 = jnp.full(shape, bases_ref[0, s].astype(jnp.uint32), jnp.uint32)
+        b1 = jnp.full(shape, bases_ref[1, s].astype(jnp.uint32), jnp.uint32)
+        ox, oy, oz, dx, dy, dz, tm = _raygen_core(
+            pid, xs, ys, b0, b1, frame_ref, width=width, height=height,
+        )
+        rx, ry, rz = _trace_sample(
+            pid, b0, b1, ox, oy, oz, dx, dy, dz, tm, alive0,
+            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref,
+            bvh_b_ref, bvh_m_ref,
+            bounces=bounces, rr_start=rr_start, **consts,
+        )
+        return (arx + rx, ary + ry, arz + rz)
+
+    rx, ry, rz = jax.lax.fori_loop(
+        0, n_samples, sample_body, (zero, zero, zero)
+    )
+    orx_ref[0] = rx
+    ory_ref[0] = ry
+    orz_ref[0] = rz
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("counts", "base_rows", "n_bvh_nodes", "tmin",
+    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "tmin",
                      "backface_cull", "sky", "used_kinds",
                      "russian_roulette", "interpret"),
 )
-def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows,
-                n_bvh_nodes, tmin, backface_cull, sky, used_kinds,
+def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
+                base_rows, n_bvh_nodes, tmin, backface_cull, sky, used_kinds,
                 russian_roulette, interpret):
     (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz) = ray_state
-    sph, pla, tri, bvh_b, bvh_m = packed_arrays
+    sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
     rows = RAY_BLOCK // 128
@@ -817,6 +1123,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows,
     kern = functools.partial(
         _bounce_kernel,
         n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
+        n_trih=hcounts[0], n_quad=hcounts[1],
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
@@ -836,7 +1143,8 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows,
         grid=(n_blocks,),
         in_specs=(
             [smem_spec] + [ray_spec] * 18
-            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec]
+            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec,
+               smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 13,
         out_shape=(
@@ -850,22 +1158,22 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, base_rows,
         rs(alive),
         rs(u4[:, 0]), rs(u4[:, 1]), rs(u4[:, 2]), rs(u4[:, 3]),
         rs(tpx), rs(tpy), rs(tpz), rs(rx), rs(ry), rs(rz),
-        sph, pla, tri, bvh_b, bvh_m,
+        sph, pla, tri, trih, quad, bvh_b, bvh_m,
     )
     return tuple(o.reshape(n) for o in outs)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("counts", "base_rows", "n_bvh_nodes", "tmin",
+    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "tmin",
                      "backface_cull", "sky", "used_kinds",
                      "russian_roulette", "bounces", "rr_start", "interpret"),
 )
 def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
-              packed_arrays, counts, base_rows, n_bvh_nodes, tmin,
+              packed_arrays, counts, hcounts, base_rows, n_bvh_nodes, tmin,
               backface_cull, sky, used_kinds, russian_roulette,
               bounces, rr_start, interpret):
-    sph, pla, tri, bvh_b, bvh_m = packed_arrays
+    sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
     rows = RAY_BLOCK // 128
@@ -877,6 +1185,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         _path_kernel,
         bounces=bounces, rr_start=rr_start,
         n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
+        n_trih=hcounts[0], n_quad=hcounts[1],
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
@@ -894,7 +1203,8 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         grid=(n_blocks,),
         in_specs=(
             [smem_spec] + [ray_spec] * 9
-            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec]
+            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec,
+               smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32)] * 3,
@@ -903,9 +1213,152 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         bases,
         rs(pid), rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(tmv),
         rs(alive),
-        sph, pla, tri, bvh_b, bvh_m,
+        sph, pla, tri, trih, quad, bvh_b, bvh_m,
     )
     return tuple(o.reshape(n) for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes",
+                     "n_samples",
+                     "width", "height", "tmin", "backface_cull", "sky",
+                     "used_kinds", "russian_roulette", "bounces", "rr_start",
+                     "interpret"),
+)
+def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
+                hcounts, base_rows, n_bvh_nodes, n_samples, width, height,
+                tmin, backface_cull, sky, used_kinds, russian_roulette,
+                bounces, rr_start, interpret):
+    sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
+    n = pid.shape[0]
+    n_blocks = n // RAY_BLOCK
+    rows = RAY_BLOCK // 128
+
+    def rs(a):
+        return a.reshape(n_blocks, rows, 128)
+
+    kern = functools.partial(
+        _render_kernel,
+        n_samples=n_samples, width=width, height=height,
+        bounces=bounces, rr_start=rr_start,
+        n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
+        n_trih=hcounts[0], n_quad=hcounts[1],
+        n_bvh_nodes=n_bvh_nodes,
+        tmin=tmin, backface_cull=backface_cull, sky=sky,
+        used_kinds=used_kinds, russian_roulette=russian_roulette,
+        sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
+    )
+    ray_spec = pl.BlockSpec(
+        (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tri_spec = pl.BlockSpec(
+        memory_space=pltpu.VMEM if n_bvh_nodes else pltpu.SMEM
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=(
+            [smem_spec, smem_spec] + [ray_spec] * 4
+            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec,
+               smem_spec, smem_spec]
+        ),
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32)] * 3,
+        interpret=interpret,
+    )(
+        bases, frame,
+        rs(pid), rs(xs), rs(ys), rs(alive),
+        sph, pla, tri, trih, quad, bvh_b, bvh_m,
+    )
+    return tuple(o.reshape(n) for o in outs)
+
+
+def _pack_frame(frame) -> jnp.ndarray:
+    """CameraFrame -> the 21-float SMEM layout _raygen_core reads."""
+    return jnp.concatenate([
+        jnp.asarray(frame.origin, jnp.float32).reshape(3),
+        jnp.asarray(frame.lower_left, jnp.float32).reshape(3),
+        jnp.asarray(frame.horizontal, jnp.float32).reshape(3),
+        jnp.asarray(frame.vertical, jnp.float32).reshape(3),
+        jnp.asarray(frame.right, jnp.float32).reshape(3),
+        jnp.asarray(frame.true_up, jnp.float32).reshape(3),
+        jnp.asarray(frame.lens_radius, jnp.float32).reshape(1),
+        jnp.asarray(frame.time0, jnp.float32).reshape(1),
+        jnp.asarray(frame.time1, jnp.float32).reshape(1),
+    ])
+
+
+def _scene_arrays(packed_shaded):
+    """(sph, pla, tri, trih, quad, bvh_b, bvh_m) with dummies for absent
+    parts, plus static (n_bvh_nodes, hcounts)."""
+    bvh_b = packed_shaded.bvh_bounds
+    bvh_m = packed_shaded.bvh_meta
+    n_bvh_nodes = 0 if bvh_b is None else int(bvh_b.shape[1])
+    if bvh_b is None:
+        bvh_b = jnp.zeros((6, 1), jnp.float32)
+        bvh_m = jnp.zeros((3, 1), jnp.int32)
+    trih = packed_shaded.trih
+    quadh = packed_shaded.quadh
+    hcounts = tuple(packed_shaded.hcounts)
+    if trih is None:
+        trih = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
+        quadh = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
+        hcounts = (0, 0)
+    arrays = (packed_shaded.spheres, packed_shaded.planes,
+              packed_shaded.triangles, trih, quadh, bvh_b, bvh_m)
+    return arrays, n_bvh_nodes, hcounts
+
+
+def render_samples(scene, packed_shaded, frame, sample_keys, cfg,
+                   pixel_ids=None, interpret=False) -> jnp.ndarray:
+    """Render `len(sample_keys)` spp in ONE kernel dispatch.
+
+    The production render path: raygen + the full bounce loop for every
+    sample run per 1024-ray VMEM block inside a single Pallas kernel
+    (_render_kernel). `frame` is a camera.CameraFrame; `sample_keys` the
+    (S,)-batched jax.random keys of render_pass (one per sample, identical
+    stream to the XLA path). Returns summed radiance (N, 3).
+    """
+    n = cfg.num_pixels if pixel_ids is None else pixel_ids.shape[0]
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
+
+    def pad(a, val=0):
+        return jnp.pad(a, (0, n_pad - n), constant_values=val) \
+            if n_pad != n else a
+
+    base_rows = (
+        packed_shaded.spheres.shape[0] - MAT_ROWS,
+        packed_shaded.planes.shape[0] - MAT_ROWS,
+        packed_shaded.triangles.shape[0] - MAT_ROWS,
+    )
+    scene_arrays, n_bvh_nodes, hcounts = _scene_arrays(packed_shaded)
+
+    pid = pad(pixel_ids).astype(jnp.int32)
+    xs = (pixel_ids % cfg.width).astype(jnp.float32)
+    ys = (pixel_ids // cfg.width).astype(jnp.float32)
+    alive = pad(jnp.ones((n,), jnp.int32))
+    # (2, S) per-sample key words; int32 for SMEM.
+    kd = jax.random.key_data(sample_keys)
+    bases = jnp.stack(
+        [kd[..., 0].astype(jnp.uint32), kd[..., 1].astype(jnp.uint32)]
+    ).astype(jnp.int32)
+    n_samples = int(bases.shape[1])
+
+    frame_vec, arrays = _forward_only((_pack_frame(frame), scene_arrays))
+    rx, ry, rz = _run_render(
+        pid, pad(xs), pad(ys), alive, bases, frame_vec,
+        arrays,
+        packed_shaded.counts, hcounts, base_rows, n_bvh_nodes, n_samples,
+        int(cfg.width), int(cfg.height), float(cfg.tmin),
+        True, bool(cfg.sky_background), packed_shaded.used_kinds,
+        bool(cfg.russian_roulette), int(cfg.bounces),
+        int(cfg.rr_start_bounce), bool(interpret),
+    )
+    return jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
 
 
 def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
@@ -927,12 +1380,7 @@ def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
         packed_shaded.planes.shape[0] - MAT_ROWS,
         packed_shaded.triangles.shape[0] - MAT_ROWS,
     )
-    bvh_b = packed_shaded.bvh_bounds
-    bvh_m = packed_shaded.bvh_meta
-    n_bvh_nodes = 0 if bvh_b is None else int(bvh_b.shape[1])
-    if bvh_b is None:
-        bvh_b = jnp.zeros((6, 1), jnp.float32)
-        bvh_m = jnp.zeros((3, 1), jnp.int32)
+    scene_arrays, n_bvh_nodes, hcounts = _scene_arrays(packed_shaded)
 
     pid = pad(ctx.pixel_id).astype(jnp.int32)
     alive = pad(jnp.ones((n,), jnp.int32))
@@ -945,14 +1393,13 @@ def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
           pad(rays.origin[:, 2]),
           pad(rays.direction[:, 0]), pad(rays.direction[:, 1]),
           pad(rays.direction[:, 2]), pad(rays.time)),
-         (packed_shaded.spheres, packed_shaded.planes,
-          packed_shaded.triangles, bvh_b, bvh_m))
+         scene_arrays)
     )
     ox, oy, oz, dx, dy, dz, tmv = inputs
     rx, ry, rz = _run_path(
         pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         arrays,
-        packed_shaded.counts, base_rows, n_bvh_nodes, float(cfg.tmin),
+        packed_shaded.counts, hcounts, base_rows, n_bvh_nodes, float(cfg.tmin),
         True, bool(cfg.sky_background), packed_shaded.used_kinds,
         bool(cfg.russian_roulette), int(cfg.bounces),
         int(cfg.rr_start_bounce), bool(interpret),
@@ -1033,24 +1480,15 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
         packed_shaded.planes.shape[0] - MAT_ROWS,
         packed_shaded.triangles.shape[0] - MAT_ROWS,
     )
-    bvh_b = packed_shaded.bvh_bounds
-    bvh_m = packed_shaded.bvh_meta
-    n_bvh_nodes = 0 if bvh_b is None else int(bvh_b.shape[1])
-    if bvh_b is None:
-        bvh_b = jnp.zeros((6, 1), jnp.float32)
-        bvh_m = jnp.zeros((3, 1), jnp.int32)
-    state, u4, arrays = _forward_only(
-        (state, u4,
-         (packed_shaded.spheres, packed_shaded.planes,
-          packed_shaded.triangles, bvh_b, bvh_m))
-    )
+    scene_arrays, n_bvh_nodes, hcounts = _scene_arrays(packed_shaded)
+    state, u4, arrays = _forward_only((state, u4, scene_arrays))
     tm = state[6]
     outs = _run_bounce(
         state,
         u4,
         jnp.asarray([do_rr], jnp.int32),
         arrays,
-        packed_shaded.counts, base_rows, n_bvh_nodes, float(cfg.tmin),
+        packed_shaded.counts, hcounts, base_rows, n_bvh_nodes, float(cfg.tmin),
         True, bool(cfg.sky_background), packed_shaded.used_kinds,
         bool(cfg.russian_roulette), bool(interpret),
     )
@@ -1060,4 +1498,4 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
 
 
 __all__ = ["bounce_step", "path_trace", "planar_state", "pack_scene_shaded",
-           "MAT_ROWS"]
+           "render_samples", "MAT_ROWS"]

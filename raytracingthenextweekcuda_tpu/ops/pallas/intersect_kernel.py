@@ -65,7 +65,8 @@ class PackedScene:
     """
 
     def __init__(self, spheres, planes, triangles, counts, used_kinds=None,
-                 shaded=False, bvh_bounds=None, bvh_meta=None):
+                 shaded=False, bvh_bounds=None, bvh_meta=None,
+                 trih=None, quadh=None, hcounts=(0, 0)):
         self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
         self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
         self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
@@ -82,20 +83,31 @@ class PackedScene:
         # Triangle columns are then in leaf-tile order.
         self.bvh_bounds = bvh_bounds
         self.bvh_meta = bvh_meta
+        # Havel-packed brute-mesh geometry for the bounce megastep ONLY
+        # (bounce_kernel.pack_scene_shaded): precomputed plane + edge-plane
+        # rows, with coplanar triangle pairs merged into parallelogram quads
+        # (the reference's own ladder precomputes per-triangle planes too,
+        # Loader.cpp:189-201 / Geometry.h:53-55). This kernel and the
+        # differentiable path keep using `triangles` (v0/e1/e2 in original
+        # triangle order) — winner codes stay stable.
+        self.trih = trih            # (20, Tp'): n̂(3) dc e1p(3) d1 e2p(3) d2 + mat(8)
+        self.quadh = quadh          # (20, Qp): same rows, uv in [0,1]²
+        self.hcounts = hcounts      # static (T', Q)
 
     def tree_flatten(self):
         return (
             (self.spheres, self.planes, self.triangles,
-             self.bvh_bounds, self.bvh_meta),
-            (self.counts, self.used_kinds, self.shaded),
+             self.bvh_bounds, self.bvh_meta, self.trih, self.quadh),
+            (self.counts, self.used_kinds, self.shaded, self.hcounts),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        counts, used_kinds, shaded = aux
-        spheres, planes, triangles, bvh_bounds, bvh_meta = children
+        counts, used_kinds, shaded, hcounts = aux
+        (spheres, planes, triangles, bvh_bounds, bvh_meta,
+         trih, quadh) = children
         return cls(spheres, planes, triangles, counts, used_kinds, shaded,
-                   bvh_bounds, bvh_meta)
+                   bvh_bounds, bvh_meta, trih, quadh, hcounts)
 
 
 def _pad128(n: int) -> int:

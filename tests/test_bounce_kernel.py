@@ -104,3 +104,33 @@ def test_fused_bounce_black_background():
         )
     )
     np.testing.assert_allclose(fused, xla, rtol=1e-4, atol=1e-4)
+
+
+def test_merge_parallelograms_cube():
+    """A cube mesh's 12 triangles merge into exactly 6 parallelogram quads;
+    a lone non-parallelogram triangle is left unmerged."""
+    import numpy as np
+
+    from raytracingthenextweekcuda_tpu.io.procedural import cube_mesh
+    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+        _merge_parallelograms,
+    )
+
+    tris = np.asarray(cube_mesh(0.5, (0.0, 0.0, 0.0)), np.float32)
+    mats = np.zeros((tris.shape[0],), np.int32)
+    qv0, qe1, qe2, qmat, rest = _merge_parallelograms(tris, mats)
+    assert qv0.shape[0] == 6 and rest.shape[0] == 0
+
+    # Append a skewed triangle: stays a triangle.
+    skew = np.asarray(
+        [[[5.0, 0.0, 0.0], [6.0, 0.0, 0.0], [5.0, 1.3, 0.7]]], np.float32
+    )
+    tris2 = np.concatenate([tris, skew])
+    mats2 = np.zeros((13,), np.int32)
+    qv0, _, _, _, rest = _merge_parallelograms(tris2, mats2)
+    assert qv0.shape[0] == 6 and rest.shape[0] == 1
+
+    # Different materials across the shared edge block merging.
+    mats3 = np.arange(12, dtype=np.int32)
+    qv0, _, _, _, rest = _merge_parallelograms(tris, mats3)
+    assert qv0.shape[0] == 0 and rest.shape[0] == 12

@@ -48,11 +48,21 @@ def load_obj(
     scale=(1.0, 1.0, 1.0),
     rotate=(0.0, 0.0, 0.0),
     offset=(0.0, 0.0, 0.0),
+    prefer_native: bool = True,
 ) -> np.ndarray:
     """Load an OBJ as a (T, 3, 3) triangle tensor with the reference's
     per-vertex transform: v *= scale; v = rotateY(v, rotate.y); v += offset
     (ModelLoader.cpp:438-445 — only the Y component of `rotate` is used,
-    matching the reference)."""
+    matching the reference).
+
+    Uses the native C++ parser (native/asset_loader.cpp) when built — the
+    counterpart of the reference's C++ loader layer; this Python parser is
+    the fallback and the test oracle."""
+    if prefer_native:
+        from raytracingthenextweekcuda_tpu import native
+
+        if native.loaders_available():
+            return native.load_obj_native(path, scale, rotate, offset)
     positions, faces = parse_obj(path)
     v = positions * np.asarray(scale, np.float32)
     v = _rotate_y(v, float(np.asarray(rotate, np.float32)[1]))

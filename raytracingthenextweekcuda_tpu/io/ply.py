@@ -71,12 +71,22 @@ def load_ply(
     offset=(0.0, 0.0, 0.0),
     normalize: bool = True,
     max_coord: float = 1.0,
+    prefer_native: bool = True,
 ) -> np.ndarray:
     """Load a PLY as a (T, 3, 3) triangle tensor.
 
     `normalize=True` applies the reference's center/scale/offset pipeline
     (prepareCUDAscene does this for every PLY, main.cu:430-432).
+
+    Uses the native C++ parser (native/asset_loader.cpp) when built — it
+    additionally reads binary_little_endian PLY; this Python parser is the
+    ascii fallback and the test oracle.
     """
+    if prefer_native:
+        from raytracingthenextweekcuda_tpu import native
+
+        if native.loaders_available():
+            return native.load_ply_native(path, offset, normalize, max_coord)
     positions, faces = parse_ply(path)
     if normalize:
         positions = normalize_mesh(positions, offset, max_coord)

@@ -38,6 +38,19 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            if hasattr(lib, "rtnw_load_mesh"):  # older .so without loaders
+                lib.rtnw_load_mesh.restype = ctypes.c_int64
+                lib.rtnw_load_mesh.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+                    ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
+                ]
+                lib.rtnw_mesh_read.restype = ctypes.c_int32
+                lib.rtnw_mesh_read.argtypes = [
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
+                ]
+                lib.rtnw_last_error.restype = ctypes.c_char_p
             _LIB = lib
             return lib
     return None
@@ -90,3 +103,56 @@ def build_sah_bvh(triangles):
         range_first=jnp.asarray(range_first),
         range_last=jnp.asarray(range_last),
     )
+
+
+def loaders_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "rtnw_load_mesh")
+
+
+def _load_mesh(path: str, kind: int, scale, rotate_y: float, offset,
+               normalize: bool, max_coord: float) -> np.ndarray:
+    """Native mesh parse + transform -> (T, 3, 3) f32 triangles.
+
+    The C++ counterpart of io/obj.load_obj (kind=0) and io/ply.load_ply
+    (kind=1) — same transforms, single-pass tokenizer, plus
+    binary_little_endian PLY support the Python parser lacks.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "rtnw_load_mesh"):
+        raise RuntimeError(
+            "librtnw_native.so not built (or stale); run: "
+            "cmake -S native -B native/build -G Ninja && ninja -C native/build"
+        )
+    sc = np.asarray(scale, np.float32).reshape(3)
+    off = np.asarray(offset, np.float32).reshape(3)
+    count = ctypes.c_int32(0)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    handle = lib.rtnw_load_mesh(
+        path.encode(), kind, fp(sc), float(rotate_y), fp(off),
+        1 if normalize else 0, float(max_coord), ctypes.byref(count),
+    )
+    if handle < 0:
+        raise ValueError(
+            f"{path}: {lib.rtnw_last_error().decode(errors='replace')}"
+        )
+    tris = np.empty((count.value, 3, 3), np.float32)
+    if lib.rtnw_mesh_read(handle, fp(tris)) != 0:
+        raise RuntimeError(lib.rtnw_last_error().decode(errors="replace"))
+    return tris
+
+
+def load_obj_native(path: str, scale=(1.0, 1.0, 1.0), rotate=(0.0, 0.0, 0.0),
+                    offset=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Native OBJ load: v *= scale; rotateY(v); v += offset
+    (ModelLoader.cpp:438-445 — only rotate.y is used, like the reference)."""
+    rot_y = float(np.asarray(rotate, np.float32).reshape(3)[1])
+    return _load_mesh(path, 0, scale, rot_y, offset, False, 1.0)
+
+
+def load_ply_native(path: str, offset=(0.0, 0.0, 0.0), normalize: bool = True,
+                    max_coord: float = 1.0) -> np.ndarray:
+    """Native PLY load (ascii or binary_little_endian) with the reference's
+    center/unit-scale/offset normalization (Loader.cpp:104-150)."""
+    return _load_mesh(path, 1, (1.0, 1.0, 1.0), 0.0, offset, normalize,
+                      max_coord)

@@ -68,7 +68,7 @@ def run_bench(
 
     paths = width * height * spp
     paths_per_sec = paths / dt
-    return {
+    result = {
         "metric": "paths/s/chip, Cornell box 512x512",
         "value": round(paths_per_sec, 1),
         "unit": "paths/s",
@@ -78,4 +78,57 @@ def run_bench(
             "width": width, "height": height, "spp": spp, "bounces": bounces,
             "device": str(jax.devices()[0]),
         },
+    }
+    try:
+        result["mesh_bvh"] = run_mesh_bench()
+    except Exception as e:  # secondary metric must never sink the headline
+        result["mesh_bvh"] = {"error": str(e)[:200]}
+    return result
+
+
+def run_mesh_bench(
+    width: int = 256, height: int = 256, spp: int = 8, bounces: int = 8,
+    n_lat: int = 64, n_lon: int = 128, spp_per_pass: int = 4,
+) -> dict:
+    """Secondary metric: dense-mesh BVH path (BASELINE config 4 analogue).
+
+    A 16k-triangle UV sphere under an area light, traced through the
+    megastep's block-consensus tile-BVH traversal — the counterpart of the
+    reference's bunny/materialball texture-memory BVH renders. Kept at
+    256x256 with small passes: one giant dispatch on this (still slow,
+    known-weak) path would trip the TPU watchdog. Optimizing this path
+    (sorted ray wavefronts -> coherent blocks) is the top perf item.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracingthenextweekcuda_tpu.config import RenderConfig
+    from raytracingthenextweekcuda_tpu.models import integrator, presets
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
+
+    scene, camera = presets.mesh_showcase(n_lat=n_lat, n_lon=n_lon)
+    tris = int(scene.triangles.count)
+    scene = finalize(scene)  # > threshold -> tile-BVH inside the megastep
+
+    cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces,
+                       spp_per_pass=spp_per_pass)
+
+    def sync(x):
+        np.asarray(jnp.sum(x))
+
+    key = jax.random.key(cfg.seed)
+    sync(integrator.render(scene, camera, cfg, key=key).accum)  # warm
+    t0 = time.perf_counter()
+    film = integrator.render(scene, camera, cfg, key=key)
+    sync(film.accum)
+    dt = time.perf_counter() - t0
+    return {
+        "paths_per_sec": round(width * height * spp / dt, 1),
+        "render_ms": round(dt * 1000, 2),
+        "triangles": tris,
+        "config": {"width": width, "height": height, "spp": spp,
+                   "bounces": bounces},
     }

@@ -186,7 +186,10 @@ def main(argv=None) -> int:
     pr.add_argument("--height", type=int, default=512)
     pr.add_argument("--spp", type=int, default=32)
     pr.add_argument("--bounces", type=int, default=10)
-    pr.add_argument("--spp-per-pass", type=int, default=8)
+    pr.add_argument("--spp-per-pass", type=int, default=0,
+                    help="samples per device dispatch; 0 = all at once "
+                    "(the fused whole-render kernel holds one sample in "
+                    "VMEM regardless, so one dispatch is fastest)")
     pr.add_argument("--seed", type=int, default=1984)
     pr.add_argument("--out", default="render.png")
     pr.add_argument("--bvh", action="store_true", help="build LBVH over meshes")

@@ -43,9 +43,12 @@ class RenderConfig:
     bounces: int = 10
     # Ray epsilon used as tMin on every bounce (main.cu:69 uses Math::epsilon).
     tmin: float = EPSILON
-    # Samples traced per device pass; spp is accumulated over ceil(spp/chunk)
-    # passes so arbitrarily high spp fits in HBM. 0 means "all at once".
-    spp_per_pass: int = 8
+    # Samples traced per device pass; 0 means "all at once". The fused
+    # whole-render kernel loops samples in VMEM, so HBM use is O(pixels)
+    # regardless of pass size and one dispatch is fastest; per-pass chunking
+    # matters only for progressive/resumable renders and the XLA
+    # (differentiable) engine's peak memory.
+    spp_per_pass: int = 0
     # Russian roulette (absent in the reference; CUDAPathTracer.cu:532 TODO).
     russian_roulette: bool = False
     rr_start_bounce: int = 3

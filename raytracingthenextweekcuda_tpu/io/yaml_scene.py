@@ -85,9 +85,18 @@ def load_scene(
     builder = SceneBuilder()
     for entry in doc.get("objects", []):
         (kind_name, obj), = entry.items()
+        if "materialId" not in obj or "material" not in obj:
+            # The reference's loader hard-crashes on such entries (yaml-cpp
+            # throw at main.cu:698-702; the shipped scene.yaml ends with one).
+            # Skipping with a warning is strictly more robust.
+            import warnings
+
+            warnings.warn(
+                f"{path}: skipping {kind_name} without materialId/material"
+            )
+            continue
         material_id = int(obj["materialId"])
-        if "material" in obj:
-            _register_material(builder, material_id, obj["material"])
+        _register_material(builder, material_id, obj["material"])
         prim_type = int(obj["type"])
         if prim_type == 0:  # Sphere (PrimitiveType order, Hitable.h:7-11)
             builder.sphere(tuple(obj["center"]), float(obj["radius"]), material_id)

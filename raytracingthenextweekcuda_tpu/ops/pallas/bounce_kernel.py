@@ -271,6 +271,7 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
         trih=trih,
         quadh=quadh,
         hcounts=hcounts,
+        has_emission=base.has_emission,
     )
 
 
@@ -282,7 +283,7 @@ def _bounce_core(
     *, n_sph: int, n_pla: int, n_tri: int, n_trih: int, n_quad: int,
     n_bvh_nodes: int, tmin: float,
     backface_cull: bool, sky: bool, used_kinds, russian_roulette: bool,
-    sb: int, pb: int, tb: int,
+    additive_emission: bool, sb: int, pb: int, tb: int,
 ):
     """One whole bounce on in-register wavefront values.
 
@@ -309,6 +310,11 @@ def _bounce_core(
 
         def take(win, new, old):
             return jnp.where(win, new, old)
+
+        def take_e(win, new, old):
+            # Additive-emission winner rows: statically elided when no
+            # material emits (the carried zeros pass through, op-free).
+            return jnp.where(win, new, old) if additive_emission else old
 
         carry0 = (best_t, w_kind, w_nx, w_ny, w_nz,
                   w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb)
@@ -345,9 +351,9 @@ def _bounce_core(
                 take(win, sph_ref[sb + 2, i], w_ag),
                 take(win, sph_ref[sb + 3, i], w_ab),
                 take(win, sph_ref[sb + 4, i], w_par),
-                take(win, sph_ref[sb + 5, i], w_er),
-                take(win, sph_ref[sb + 6, i], w_eg),
-                take(win, sph_ref[sb + 7, i], w_eb),
+                take_e(win, sph_ref[sb + 5, i], w_er),
+                take_e(win, sph_ref[sb + 6, i], w_eg),
+                take_e(win, sph_ref[sb + 7, i], w_eb),
             )
 
         def plane_body(i, carry):
@@ -381,9 +387,9 @@ def _bounce_core(
                 take(win, pla_ref[pb + 2, i], w_ag),
                 take(win, pla_ref[pb + 3, i], w_ab),
                 take(win, pla_ref[pb + 4, i], w_par),
-                take(win, pla_ref[pb + 5, i], w_er),
-                take(win, pla_ref[pb + 6, i], w_eg),
-                take(win, pla_ref[pb + 7, i], w_eb),
+                take_e(win, pla_ref[pb + 5, i], w_er),
+                take_e(win, pla_ref[pb + 6, i], w_eg),
+                take_e(win, pla_ref[pb + 7, i], w_eb),
             )
 
         def tri_body(i, carry):
@@ -430,9 +436,9 @@ def _bounce_core(
                 take(win, tri_ref[tb + 2, i], w_ag),
                 take(win, tri_ref[tb + 3, i], w_ab),
                 take(win, tri_ref[tb + 4, i], w_par),
-                take(win, tri_ref[tb + 5, i], w_er),
-                take(win, tri_ref[tb + 6, i], w_eg),
-                take(win, tri_ref[tb + 7, i], w_eb),
+                take_e(win, tri_ref[tb + 5, i], w_er),
+                take_e(win, tri_ref[tb + 6, i], w_eg),
+                take_e(win, tri_ref[tb + 7, i], w_eb),
             )
 
         def make_havel_body(ref, hb, quad):
@@ -471,9 +477,9 @@ def _bounce_core(
                     take(win, ref[hb + 2, i], w_ag),
                     take(win, ref[hb + 3, i], w_ab),
                     take(win, ref[hb + 4, i], w_par),
-                    take(win, ref[hb + 5, i], w_er),
-                    take(win, ref[hb + 6, i], w_eg),
-                    take(win, ref[hb + 7, i], w_eb),
+                    take_e(win, ref[hb + 5, i], w_er),
+                    take_e(win, ref[hb + 6, i], w_eg),
+                    take_e(win, ref[hb + 7, i], w_eb),
                 )
 
             return h_body
@@ -551,10 +557,12 @@ def _bounce_core(
                 qz = txx * e1y - tyy * e1x
                 v = (o1(dx) * qx + o1(dy) * qy + o1(dz) * qz) * inv
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                # Mosaic cannot insert a minor dim on an i1 vector; widen the
+                # per-ray mask to i32 before broadcasting over the lane tile.
                 hit = (
                     okt & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                     & (u + v <= 1.0) & (t > tmin) & (t < o1(best_t))
-                    & o1(node_hit)
+                    & (o1(node_hit.astype(jnp.int32)) != 0)
                 )
                 t_masked = jnp.where(hit, t, BIG)
                 tile_best = jnp.min(t_masked, axis=-1)      # (ROWS, 128)
@@ -584,9 +592,12 @@ def _bounce_core(
                     jnp.where(improved, extract(tri_row(tb + 2, tile)), w_ag),
                     jnp.where(improved, extract(tri_row(tb + 3, tile)), w_ab),
                     jnp.where(improved, extract(tri_row(tb + 4, tile)), w_par),
-                    jnp.where(improved, extract(tri_row(tb + 5, tile)), w_er),
-                    jnp.where(improved, extract(tri_row(tb + 6, tile)), w_eg),
-                    jnp.where(improved, extract(tri_row(tb + 7, tile)), w_eb),
+                    jnp.where(improved, extract(tri_row(tb + 5, tile)), w_er)
+                    if additive_emission else w_er,
+                    jnp.where(improved, extract(tri_row(tb + 6, tile)), w_eg)
+                    if additive_emission else w_eg,
+                    jnp.where(improved, extract(tri_row(tb + 7, tile)), w_eb)
+                    if additive_emission else w_eb,
                 )
 
             def t_cond(c):
@@ -844,11 +855,12 @@ def _bounce_core(
             ry = ry + missf * tpy * skyg
             rz = rz + missf * tpz * skyb
 
-        hitf = (alive & valid).astype(jnp.float32)
-        # Path B additive emission (zero rows for Path A materials).
-        rx = rx + hitf * tpx * w_er
-        ry = ry + hitf * tpy * w_eg
-        rz = rz + hitf * tpz * w_eb
+        if additive_emission:
+            # Path B additive emission (zero rows for Path A materials).
+            hitf = (alive & valid).astype(jnp.float32)
+            rx = rx + hitf * tpx * w_er
+            ry = ry + hitf * tpy * w_eg
+            rz = rz + hitf * tpz * w_eb
         if _use(EMISSION):
             termf = (alive & valid & is_kind(EMISSION)).astype(jnp.float32)
             rx = rx + termf * tpx * w_ar * w_par
@@ -1110,7 +1122,7 @@ def _render_kernel(
 )
 def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
                 base_rows, n_bvh_nodes, tmin, backface_cull, sky, used_kinds,
-                russian_roulette, interpret):
+                russian_roulette, additive_emission, interpret):
     (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz) = ray_state
     sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
@@ -1127,6 +1139,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
+        additive_emission=additive_emission,
         sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
     )
     ray_spec = pl.BlockSpec(
@@ -1172,7 +1185,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
 def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
               packed_arrays, counts, hcounts, base_rows, n_bvh_nodes, tmin,
               backface_cull, sky, used_kinds, russian_roulette,
-              bounces, rr_start, interpret):
+              additive_emission, bounces, rr_start, interpret):
     sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
@@ -1189,6 +1202,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
+        additive_emission=additive_emission,
         sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
     )
     ray_spec = pl.BlockSpec(
@@ -1223,13 +1237,13 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
     static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes",
                      "n_samples",
                      "width", "height", "tmin", "backface_cull", "sky",
-                     "used_kinds", "russian_roulette", "bounces", "rr_start",
-                     "interpret"),
+                     "used_kinds", "russian_roulette", "additive_emission",
+                     "bounces", "rr_start", "interpret"),
 )
 def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
                 hcounts, base_rows, n_bvh_nodes, n_samples, width, height,
                 tmin, backface_cull, sky, used_kinds, russian_roulette,
-                bounces, rr_start, interpret):
+                additive_emission, bounces, rr_start, interpret):
     sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
     n = pid.shape[0]
     n_blocks = n // RAY_BLOCK
@@ -1247,6 +1261,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
+        additive_emission=additive_emission,
         sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
     )
     ray_spec = pl.BlockSpec(
@@ -1355,8 +1370,9 @@ def render_samples(scene, packed_shaded, frame, sample_keys, cfg,
         packed_shaded.counts, hcounts, base_rows, n_bvh_nodes, n_samples,
         int(cfg.width), int(cfg.height), float(cfg.tmin),
         True, bool(cfg.sky_background), packed_shaded.used_kinds,
-        bool(cfg.russian_roulette), int(cfg.bounces),
-        int(cfg.rr_start_bounce), bool(interpret),
+        bool(cfg.russian_roulette),
+        bool(getattr(packed_shaded, "has_emission", True)),
+        int(cfg.bounces), int(cfg.rr_start_bounce), bool(interpret),
     )
     return jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
 
@@ -1401,8 +1417,9 @@ def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
         arrays,
         packed_shaded.counts, hcounts, base_rows, n_bvh_nodes, float(cfg.tmin),
         True, bool(cfg.sky_background), packed_shaded.used_kinds,
-        bool(cfg.russian_roulette), int(cfg.bounces),
-        int(cfg.rr_start_bounce), bool(interpret),
+        bool(cfg.russian_roulette),
+        bool(getattr(packed_shaded, "has_emission", True)),
+        int(cfg.bounces), int(cfg.rr_start_bounce), bool(interpret),
     )
     return jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
 
@@ -1490,7 +1507,9 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
         arrays,
         packed_shaded.counts, hcounts, base_rows, n_bvh_nodes, float(cfg.tmin),
         True, bool(cfg.sky_background), packed_shaded.used_kinds,
-        bool(cfg.russian_roulette), bool(interpret),
+        bool(cfg.russian_roulette),
+        bool(getattr(packed_shaded, "has_emission", True)),
+        bool(interpret),
     )
     (ox, oy, oz, dx, dy, dz, tpx, tpy, tpz, rx, ry, rz, alive_i) = outs
     return (ox, oy, oz, dx, dy, dz, tm, alive_i,

@@ -66,7 +66,8 @@ class PackedScene:
 
     def __init__(self, spheres, planes, triangles, counts, used_kinds=None,
                  shaded=False, bvh_bounds=None, bvh_meta=None,
-                 trih=None, quadh=None, hcounts=(0, 0)):
+                 trih=None, quadh=None, hcounts=(0, 0),
+                 has_emission=True):
         self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
         self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
         self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
@@ -93,21 +94,26 @@ class PackedScene:
         self.trih = trih            # (20, Tp'): n̂(3) dc e1p(3) d1 e2p(3) d2 + mat(8)
         self.quadh = quadh          # (20, Qp): same rows, uv in [0,1]²
         self.hcounts = hcounts      # static (T', Q)
+        # Static: any material has nonzero Path-B additive emission
+        # (CUDAPathTracer.cu:430). When False the megastep skips the three
+        # emission winner-rows and their radiance FMAs entirely.
+        self.has_emission = has_emission
 
     def tree_flatten(self):
         return (
             (self.spheres, self.planes, self.triangles,
              self.bvh_bounds, self.bvh_meta, self.trih, self.quadh),
-            (self.counts, self.used_kinds, self.shaded, self.hcounts),
+            (self.counts, self.used_kinds, self.shaded, self.hcounts,
+             self.has_emission),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        counts, used_kinds, shaded, hcounts = aux
+        counts, used_kinds, shaded, hcounts, has_emission = aux
         (spheres, planes, triangles, bvh_bounds, bvh_meta,
          trih, quadh) = children
         return cls(spheres, planes, triangles, counts, used_kinds, shaded,
-                   bvh_bounds, bvh_meta, trih, quadh, hcounts)
+                   bvh_bounds, bvh_meta, trih, quadh, hcounts, has_emission)
 
 
 def _pad128(n: int) -> int:
@@ -173,12 +179,15 @@ def pack_scene(scene, include_triangles: bool = True) -> PackedScene:
     # Static material-kind set (requires concrete kinds, i.e. pack outside
     # of or before any trace that abstracts them; fall back to None inside
     # a trace where values are unavailable).
+    has_emission = True
     try:
         used_kinds = tuple(sorted({int(k) for k in np.asarray(scene.materials.kind)}))
+        has_emission = bool(np.any(np.asarray(scene.materials.emission)))
     except (jax.errors.TracerArrayConversionError, TypeError):
         used_kinds = None
 
-    return PackedScene(sp, pp, tp, (S, P, T), used_kinds)
+    return PackedScene(sp, pp, tp, (S, P, T), used_kinds,
+                       has_emission=has_emission)
 
 
 def _intersect_kernel(

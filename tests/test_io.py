@@ -137,3 +137,27 @@ def test_reference_yaml_scene_loads_verbatim():
     assert scene.planes.count == 6
     assert scene.spheres.count == 2
     assert scene.triangles.count == 24
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/RayTracingTheNextWeekCUDA/resources/scenes"),
+    reason="reference scenes absent",
+)
+@pytest.mark.parametrize("name", [
+    "cornellbox_empty.yaml", "cornellbox0.yaml", "cornellbox1.yaml",
+    "cornellbox3.yaml", "scene.yaml",
+])
+def test_all_reference_yaml_scenes_load(name):
+    """EVERY shipped reference scene file loads verbatim (schema parity:
+    main.cu:629-786 camera + object/material maps)."""
+    scene, camera = load_scene(
+        f"/root/reference/RayTracingTheNextWeekCUDA/resources/scenes/{name}",
+        model_roots=[REF_MODELS],
+    )
+    assert scene.materials.kind.shape[0] >= 1
+    assert float(camera.fov) > 0
+    # Every scene must also pack for the fused kernels.
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
+
+    packed = finalize(scene).packed
+    assert packed is not None and packed.shaded

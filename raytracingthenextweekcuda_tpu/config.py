@@ -64,6 +64,13 @@ class RenderConfig:
     # XLA wavefront path is the differentiable engine; both consume the same
     # RNG stream and agree to float tolerance).
     fused_bounce: bool = True
+    # Sort the ray wavefront between bounces on BVH (tile-traversal) scenes:
+    # key = direction octant + position morton, dead rays last. Sorted
+    # blocks are spatially coherent, so the megastep's block-consensus
+    # traversal skips most leaf tiles, and dead rays cluster into whole
+    # skipped blocks (compaction for free). The per-pixel counter RNG makes
+    # the sorted render bit-identical to the unsorted one.
+    sort_rays: bool = True
 
     @property
     def aspect_ratio(self) -> float:

@@ -155,6 +155,95 @@ def _fused_eligible(scene: Scene, cfg: RenderConfig) -> bool:
     )
 
 
+def _sorted_eligible(scene: Scene, cfg: RenderConfig) -> bool:
+    """Static test: tile-BVH scene rendered via the sorted wavefront.
+
+    BVH scenes bounce per-dispatch (ops/pallas/bounce_kernel.bounce_step)
+    with an XLA sort between bounces (ops/wavefront_sort.py) instead of the
+    whole-render megastep: block-consensus traversal needs coherent blocks,
+    and only re-sorted wavefronts stay coherent past the first diffuse
+    bounce.
+    """
+    return (
+        _fused_eligible(scene, cfg)
+        and cfg.sort_rays
+        and getattr(scene.packed, "bvh_bounds", None) is not None
+    )
+
+
+def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
+    """Sorted-wavefront trace for tile-BVH scenes (see _sorted_eligible).
+
+    Each bounce is one fused Pallas megastep over the planar wavefront;
+    between bounces the state is re-sorted by direction-octant + position-
+    morton so 1024-ray blocks stay spatially coherent for the block-
+    consensus traversal, with dead rays clustering into whole skipped
+    blocks. The per-(pixel, bounce) counter RNG rides the pixel id through
+    the sort, so the result is bit-identical to the unsorted megastep.
+    """
+    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+        bounce_step,
+        planar_state,
+    )
+    from raytracingthenextweekcuda_tpu.ops.wavefront_sort import (
+        sort_wavefront,
+        unsort_radiance,
+    )
+
+    packed = scene.packed
+    interpret = jax.default_backend() == "cpu"
+    n = rays.count
+    state = planar_state(rays)
+    n_pad = state[0].shape[0]
+    # Padding rays are dead from the start (alive=0) and carry slot/pid past
+    # n, so both sorts keep them at the tail and unsort drops them.
+    pid = jnp.arange(n_pad, dtype=jnp.int32)
+    if n == n_pad:
+        pid = ctx.pixel_id.astype(jnp.int32)
+    else:
+        pid = pid.at[:n].set(ctx.pixel_id.astype(jnp.int32))
+    slot = jnp.arange(n_pad, dtype=jnp.int32)
+    lo = packed.bvh_bounds[0:3, 0]
+    hi = packed.bvh_bounds[3:6, 0]
+
+    def step(carry, bounce_idx):
+        state, pid, slot = carry
+        u4 = rng.bounce_uniforms(
+            rng.RayCtx(pid.astype(jnp.uint32), ctx.base0, ctx.base1),
+            bounce_idx,
+        )
+        do_rr = (bounce_idx >= cfg.rr_start_bounce).astype(jnp.int32)
+        state = bounce_step(
+            scene, packed, state, u4, do_rr, cfg, interpret=interpret
+        )
+        return state, pid, slot
+
+    def sort_then_step(carry, bounce_idx):
+        state, pid, slot = carry
+        state, pid, slot = sort_wavefront(state, pid, slot, lo, hi)
+        return step((state, pid, slot), bounce_idx)
+
+    def body(carry, bounce_idx):
+        # Whole-wavefront early-out, as in the XLA path's bounce_or_skip.
+        return jax.lax.cond(
+            jnp.max(carry[0][7]) > 0,
+            lambda c: sort_then_step(c, bounce_idx),
+            lambda c: c,
+            carry,
+        ), None
+
+    # Primary rays arrive in pixel order (already coherent): bounce first,
+    # sort from the second bounce on.
+    carry = step((state, pid, slot), jnp.uint32(0))
+    if cfg.bounces > 1:
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(1, cfg.bounces, dtype=jnp.uint32)
+        )
+    state, _, slot = carry
+    radiance = unsort_radiance(slot, state[11], state[12], state[13], n)
+    return radiance + _grad_probe(scene)
+
+
 def trace(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
     """Path-trace a wavefront to completion. Returns radiance (N, 3).
 
@@ -162,6 +251,8 @@ def trace(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
     the bounce index in, so every random draw is a pure function of
     (seed, pass, pixel, bounce) — independent of device placement.
     """
+    if _sorted_eligible(scene, cfg):
+        return _trace_sorted(scene, rays, ctx, cfg)
     if _fused_eligible(scene, cfg):
         return _trace_fused(scene, rays, ctx, cfg)
 
@@ -268,7 +359,7 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
     frame = camera_mod.derive(camera, cfg.aspect_ratio)
     sample_keys = jax.random.split(key, samples)
 
-    if _fused_eligible(scene, cfg):
+    if _fused_eligible(scene, cfg) and not _sorted_eligible(scene, cfg):
         from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
             render_samples,
         )

@@ -1118,7 +1118,7 @@ def _render_kernel(
     jax.jit,
     static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "tmin",
                      "backface_cull", "sky", "used_kinds",
-                     "russian_roulette", "interpret"),
+                     "russian_roulette", "additive_emission", "interpret"),
 )
 def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
                 base_rows, n_bvh_nodes, tmin, backface_cull, sky, used_kinds,
@@ -1180,7 +1180,8 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
     jax.jit,
     static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "tmin",
                      "backface_cull", "sky", "used_kinds",
-                     "russian_roulette", "bounces", "rr_start", "interpret"),
+                     "russian_roulette", "additive_emission",
+                     "bounces", "rr_start", "interpret"),
 )
 def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
               packed_arrays, counts, hcounts, base_rows, n_bvh_nodes, tmin,

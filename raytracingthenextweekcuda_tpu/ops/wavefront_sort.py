@@ -1,0 +1,100 @@
+"""Wavefront sorting: spatially coherent ray blocks for the tile-BVH path.
+
+The megastep's block-consensus traversal (ops/bvh_tile.py) visits a BVH
+node when ANY ray of a 1024-ray VMEM block hits its bound. Primary rays are
+coherent (consecutive pixels), but after one diffuse bounce a block's rays
+scatter over the whole scene and the consensus degenerates to visiting
+nearly every leaf tile — the same divergence the reference's per-thread
+SIMT traversal suffers from warp-wide (CUDAPathTracer.cu:192-352), at 128x
+the width.
+
+The fix is the classic wavefront-sorting move, shaped for XLA: between
+bounces, sort the planar ray state by a single int32 key
+
+    alive ? (direction octant << 27) | morton9^3(origin in root AABB)
+          : 0x7FFFFFFF
+
+so rays that start near each other AND head the same way land in the same
+block (consensus skips almost everything), while dead rays sort to the tail
+and terminate whole blocks (the kernel's per-block early-out makes that a
+pass-through copy — compaction for free, no dynamic shapes).
+
+Because every random draw is a pure function of (pixel_id, key, bounce)
+(ops/rng.py) and pixel_id rides the sort, the sorted render is
+bit-identical to the unsorted one. ONE multi-operand `lax.sort` call moves
+the whole 14-tuple state + ids in a single fused sort; argsort + 16 gathers
+would serialize on TPU's slow per-lane gather path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Dead-ray key: int32 max, sorts after every live key (live keys < 2^30).
+DEAD_KEY = 0x7FFFFFFF
+
+
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x two apart: b9..b0 -> b9 0 0 b8 0 0 ... b0."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
+    """int32 coherence key per ray (see module docstring).
+
+    lo/hi: (3,) root AABB of the tile-BVH — positions are quantized to a
+    512^3 grid inside it (clipped, so rays outside the box still sort
+    sensibly to the nearest face).
+    """
+    f32 = jnp.float32
+    span = jnp.maximum((hi - lo).astype(f32), 1e-12)
+
+    def quant(p, axis):
+        g = (p - lo[axis]) * (512.0 / span[axis])
+        return jnp.clip(g, 0.0, 511.0).astype(jnp.int32)
+
+    m = (
+        (_part1by2(quant(ox, 0)) << 2)
+        | (_part1by2(quant(oy, 1)) << 1)
+        | _part1by2(quant(oz, 2))
+    )
+    octant = (
+        ((dx < 0.0).astype(jnp.int32) << 2)
+        | ((dy < 0.0).astype(jnp.int32) << 1)
+        | (dz < 0.0).astype(jnp.int32)
+    )
+    key = (octant << 27) | m
+    return jnp.where(alive != 0, key, jnp.int32(DEAD_KEY))
+
+
+def sort_wavefront(state, pid, slot, lo, hi):
+    """Sort the 14-tuple planar bounce state (+ pixel id, + original slot)
+    by the coherence key, in ONE lax.sort call.
+
+    state: (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz)
+    pid:   (N,) int32 pixel id (drives the counter RNG — order-independent)
+    slot:  (N,) int32 original wavefront position (for the final unsort)
+    """
+    ox, oy, oz, dx, dy, dz, tm, alive = state[:8]
+    key = ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi)
+    out = jax.lax.sort((key, *state, pid, slot), num_keys=1)
+    return out[1:15], out[15], out[16]
+
+
+def unsort_radiance(slot, rx, ry, rz, n: int) -> jnp.ndarray:
+    """Restore pixel order: sort radiance rows by original slot index.
+
+    A key-sort is the TPU-friendly inverse permutation (scatter/gather by
+    index serialize per lane). Returns (n, 3) radiance.
+    """
+    _, rxs, rys, rzs = jax.lax.sort((slot, rx, ry, rz), num_keys=1)
+    return jnp.stack([rxs[:n], rys[:n], rzs[:n]], axis=-1)
+
+
+__all__ = ["ray_sort_key", "sort_wavefront", "unsort_radiance", "DEAD_KEY"]

@@ -1,0 +1,113 @@
+"""Sorted-wavefront renderer: bit-identity with the unsorted megastep.
+
+The tile-BVH path re-sorts the ray wavefront between bounces
+(ops/wavefront_sort.py) so the block-consensus traversal sees coherent
+blocks. Because every RNG draw is a pure function of (pixel, key, bounce),
+sorting must not change the image at all — these tests pin that, plus the
+sort key's invariants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracingthenextweekcuda_tpu.config import RenderConfig
+from raytracingthenextweekcuda_tpu.io.procedural import uv_sphere_mesh
+from raytracingthenextweekcuda_tpu.models import integrator
+from raytracingthenextweekcuda_tpu.models.camera import Camera
+from raytracingthenextweekcuda_tpu.models.scene import SceneBuilder, finalize
+from raytracingthenextweekcuda_tpu.ops.wavefront_sort import (
+    DEAD_KEY,
+    ray_sort_key,
+    sort_wavefront,
+)
+
+
+def _mesh_scene():
+    b = SceneBuilder()
+    b.lambertian(0, (0.73, 0.73, 0.73))
+    b.metal(1, (0.9, 0.6, 0.2), 0.1)
+    b.emission(2, (1.0, 1.0, 1.0), 4.0)
+    b.plane((0, -1.05, 0), (0, 1, 0), (5, 0, 5), 2, 0)
+    b.sphere((0, 4, 0), 2.0, 2)
+    b.mesh(uv_sphere_mesh(0.9, (0, 0, 0), 12, 24), 1)  # 528 triangles
+    camera = Camera.make(
+        eye=(0, 0.4, 2.6), center=(0, 0, 0), fov=45.0, aperture=0.0,
+        focus_distance=2.6, time1=1.0,
+    )
+    return finalize(b.build(), use_bvh=True), camera
+
+
+def _render(scene, camera, cfg):
+    return np.asarray(integrator.render(scene, camera, cfg).accum)
+
+
+def test_sorted_matches_unsorted_megastep():
+    scene, camera = _mesh_scene()
+    assert scene.packed.bvh_bounds is not None
+    base = dict(width=20, height=16, spp=2, bounces=4, spp_per_pass=2)
+    img_sorted = _render(scene, camera, RenderConfig(**base, sort_rays=True))
+    img_plain = _render(scene, camera, RenderConfig(**base, sort_rays=False))
+    assert np.isfinite(img_sorted).all()
+    # Same per-ray math, same RNG stream, same accumulation order.
+    np.testing.assert_allclose(img_sorted, img_plain, rtol=2e-6, atol=2e-6)
+    assert img_sorted.mean() > 0.01
+
+
+def test_sorted_matches_xla_wavefront_with_rr():
+    scene, camera = _mesh_scene()
+    base = dict(width=12, height=12, spp=2, bounces=5, spp_per_pass=2,
+                russian_roulette=True, rr_start_bounce=2)
+    img_sorted = _render(scene, camera, RenderConfig(**base, sort_rays=True))
+    # XLA wavefront path (per-ray LBVH-free brute intersect over the
+    # permuted triangles) consumes the same RNG stream.
+    img_xla = _render(
+        scene, camera, RenderConfig(**base, fused_bounce=False)
+    )
+    np.testing.assert_allclose(img_sorted, img_xla, rtol=1e-4, atol=1e-4)
+
+
+def test_sort_key_dead_rays_last_and_octant_major():
+    n = 8
+    ox = jnp.linspace(-1.0, 1.0, n)
+    oy = jnp.zeros(n)
+    oz = jnp.zeros(n)
+    dx = jnp.asarray([1.0, -1.0] * 4)
+    dy = jnp.ones(n)
+    dz = jnp.ones(n)
+    alive = jnp.asarray([1, 1, 1, 1, 0, 1, 0, 1], jnp.int32)
+    lo = jnp.asarray([-1.0, -1.0, -1.0])
+    hi = jnp.asarray([1.0, 1.0, 1.0])
+    key = np.asarray(ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi))
+    assert (key[np.asarray(alive) == 0] == DEAD_KEY).all()
+    live = key[np.asarray(alive) == 1]
+    assert (live < DEAD_KEY).all() and (live >= 0).all()
+    # Octant is the major sort dimension: dx<0 rays sort after dx>0 rays.
+    neg = key[(np.asarray(dx) < 0) & (np.asarray(alive) == 1)]
+    pos = key[(np.asarray(dx) > 0) & (np.asarray(alive) == 1)]
+    assert neg.min() > pos.max()
+
+
+def test_sort_wavefront_roundtrip_permutation():
+    k = jax.random.key(0)
+    n = 256
+    ks = jax.random.split(k, 15)
+    state = tuple(
+        jax.random.normal(ks[i], (n,)) for i in range(7)
+    ) + (jax.random.bernoulli(ks[7], 0.7, (n,)).astype(jnp.int32),) + tuple(
+        jax.random.normal(ks[8 + i], (n,)) for i in range(6)
+    )
+    pid = jnp.arange(n, dtype=jnp.int32)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    lo = jnp.asarray([-2.0, -2.0, -2.0])
+    hi = jnp.asarray([2.0, 2.0, 2.0])
+    s_state, s_pid, s_slot = sort_wavefront(state, pid, slot, lo, hi)
+    # A permutation: every (pid, value) pair survives intact.
+    order = np.argsort(np.asarray(s_slot))
+    for a, b in zip(state, s_state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[order])
+    np.testing.assert_array_equal(np.asarray(s_pid)[order], np.asarray(pid))
+    # Dead rays clustered at the tail.
+    alive_sorted = np.asarray(s_state[7])
+    first_dead = np.argmin(alive_sorted) if (alive_sorted == 0).any() else n
+    assert (alive_sorted[first_dead:] == 0).all()

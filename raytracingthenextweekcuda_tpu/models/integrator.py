@@ -37,6 +37,10 @@ from raytracingthenextweekcuda_tpu.ops.rays import Hit, Rays, closer
 SKY_WHITE = (1.0, 1.0, 1.0)
 SKY_BLUE = (0.5, 0.7, 1.0)
 
+# Multi-sample sorted wavefronts are capped at this many rays (18 planar f32
+# rows each -> ~300 MB of HBM at the cap, x2 transiently during the sort).
+_SORT_WAVEFRONT_CAP = 4 * 1024 * 1024
+
 
 def sky_color(direction: jnp.ndarray) -> jnp.ndarray:
     """RTiOW sky gradient on the unit direction (main.cu:86-89)."""
@@ -195,33 +199,44 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarr
     n = rays.count
     state = planar_state(rays)
     n_pad = state[0].shape[0]
+
+    def pad_to(a, fill=0):
+        a = jnp.asarray(a)
+        return a if n_pad == n else jnp.pad(a, (0, n_pad - n),
+                                            constant_values=fill)
+
     # Padding rays are dead from the start (alive=0) and carry slot/pid past
     # n, so both sorts keep them at the tail and unsort drops them.
-    pid = jnp.arange(n_pad, dtype=jnp.int32)
-    if n == n_pad:
-        pid = ctx.pixel_id.astype(jnp.int32)
-    else:
-        pid = pid.at[:n].set(ctx.pixel_id.astype(jnp.int32))
+    pid = pad_to(ctx.pixel_id.astype(jnp.int32))
+    if n != n_pad:
+        pid = pid.at[n:].set(jnp.arange(n, n_pad, dtype=jnp.int32))
     slot = jnp.arange(n_pad, dtype=jnp.int32)
+    # Per-ray RNG key words ride the sort (multi-sample wavefronts carry a
+    # different jax.random key per sample; int32 for lax.sort's operand set).
+    b0 = pad_to(jnp.broadcast_to(ctx.base0, (n,)).astype(jnp.int32))
+    b1 = pad_to(jnp.broadcast_to(ctx.base1, (n,)).astype(jnp.int32))
     lo = packed.bvh_bounds[0:3, 0]
     hi = packed.bvh_bounds[3:6, 0]
 
     def step(carry, bounce_idx):
-        state, pid, slot = carry
+        state, pid, slot, b0, b1 = carry
         u4 = rng.bounce_uniforms(
-            rng.RayCtx(pid.astype(jnp.uint32), ctx.base0, ctx.base1),
+            rng.RayCtx(pid.astype(jnp.uint32),
+                       b0.astype(jnp.uint32), b1.astype(jnp.uint32)),
             bounce_idx,
         )
         do_rr = (bounce_idx >= cfg.rr_start_bounce).astype(jnp.int32)
         state = bounce_step(
             scene, packed, state, u4, do_rr, cfg, interpret=interpret
         )
-        return state, pid, slot
+        return state, pid, slot, b0, b1
 
     def sort_then_step(carry, bounce_idx):
-        state, pid, slot = carry
-        state, pid, slot = sort_wavefront(state, pid, slot, lo, hi)
-        return step((state, pid, slot), bounce_idx)
+        state, pid, slot, b0, b1 = carry
+        state, pid, slot, (b0, b1) = sort_wavefront(
+            state, pid, slot, lo, hi, extras=(b0, b1)
+        )
+        return step((state, pid, slot, b0, b1), bounce_idx)
 
     def body(carry, bounce_idx):
         # Whole-wavefront early-out, as in the XLA path's bounce_or_skip.
@@ -234,12 +249,12 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarr
 
     # Primary rays arrive in pixel order (already coherent): bounce first,
     # sort from the second bounce on.
-    carry = step((state, pid, slot), jnp.uint32(0))
+    carry = step((state, pid, slot, b0, b1), jnp.uint32(0))
     if cfg.bounces > 1:
         carry, _ = jax.lax.scan(
             body, carry, jnp.arange(1, cfg.bounces, dtype=jnp.uint32)
         )
-    state, _, slot = carry
+    state, _, slot = carry[0], carry[1], carry[2]
     radiance = unsort_radiance(slot, state[11], state[12], state[13], n)
     return radiance + _grad_probe(scene)
 
@@ -369,6 +384,44 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
             interpret=jax.default_backend() == "cpu",
         )
         accum = accum + _grad_probe(scene)
+        return accum.reshape(cfg.height, cfg.width, 3)
+
+    if _sorted_eligible(scene, cfg):
+        # Multi-sample wavefront: trace ALL the pass's samples as ONE sorted
+        # wavefront of samples*num_pixels rays. The coherence sort then
+        # clusters rays across samples (8x the material per block), the
+        # per-bounce dispatch count drops from samples*bounces to bounces,
+        # and dead rays from every sample compact together. Each ray carries
+        # its own RNG key words so the stream is identical to per-sample
+        # tracing. Capped to bound HBM (18 planar f32 rows per ray).
+        n = cfg.num_pixels
+        group = max(1, min(samples, _SORT_WAVEFRONT_CAP // max(n, 1)))
+        accum = jnp.zeros((n, 3), frame.origin.dtype)
+        for start in range(0, samples, group):
+            g = min(group, samples - start)
+            rays_l, ctx_l = [], []
+            for s in range(start, start + g):
+                r, c = camera_mod.generate_rays(
+                    frame, sample_keys[s], cfg.width, cfg.height
+                )
+                rays_l.append(r)
+                ctx_l.append(c)
+            rays = Rays(
+                origin=jnp.concatenate([r.origin for r in rays_l]),
+                direction=jnp.concatenate([r.direction for r in rays_l]),
+                time=jnp.concatenate([r.time for r in rays_l]),
+            )
+            ctx = rng.RayCtx(
+                pixel_id=jnp.concatenate([c.pixel_id for c in ctx_l]),
+                base0=jnp.concatenate(
+                    [jnp.broadcast_to(c.base0, (n,)) for c in ctx_l]
+                ),
+                base1=jnp.concatenate(
+                    [jnp.broadcast_to(c.base1, (n,)) for c in ctx_l]
+                ),
+            )
+            radiance = _trace_sorted(scene, rays, ctx, cfg)
+            accum = accum + radiance.reshape(g, n, 3).sum(axis=0)
         return accum.reshape(cfg.height, cfg.width, 3)
 
     def one_sample(accum, skey):

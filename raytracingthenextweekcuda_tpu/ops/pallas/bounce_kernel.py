@@ -229,15 +229,42 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
         return jnp.concatenate([arr, rows], axis=0)
 
     bvh_bounds = bvh_meta = None
+    trih = quadh = None
+    hcounts = (0, 0)
     if tile_bvh is not None:
         assert tile_bvh.padded_tri_count == T, (
             f"triangles ({T}) not in tile order ({tile_bvh.padded_tri_count})"
         )
         bvh_bounds = jnp.asarray(tile_bvh.bounds, jnp.float32)
-        bvh_meta = jnp.asarray(tile_bvh.meta, jnp.int32)
+        meta3 = np.asarray(tile_bvh.meta)
+        # Rows 3-4: leaf-tile range [tile_lo, tile_hi) covered by each
+        # subtree. DFS preorder emits leaf tiles in increasing tile_start
+        # order, so subtree [i, skip) covers a CONTIGUOUS tile range —
+        # leaves_before[i]*LEAF .. leaves_before[skip]*LEAF. The megastep's
+        # post-traversal winner-resolution sweep descends only into
+        # subtrees containing some ray's winning tile.
+        leaf_size = T // max(int((meta3[0] == 1).sum()), 1)
+        leaves_before = np.concatenate(
+            [[0], np.cumsum(meta3[0] == 1)]
+        ).astype(np.int32)
+        tile_lo = leaves_before[np.arange(meta3.shape[1])] * leaf_size
+        tile_hi = leaves_before[meta3[2]] * leaf_size
+        bvh_meta = jnp.asarray(
+            np.concatenate([meta3, tile_lo[None], tile_hi[None]], axis=0),
+            jnp.int32,
+        )
+        # Havel-packed leaf tiles: the traversal's leaf test uses the same
+        # precomputed plane + edge-plane rows as the brute fast path
+        # (reference parity: Loader.cpp:189-201 / CUDAPathTracer.cu:294-326).
+        # Padding slots (zero vertices) give a zero normal -> never hit.
+        verts = np.asarray(jax.device_get(scene.triangles.vertices))
+        mids = np.asarray(jax.device_get(scene.triangles.material_id))
+        v0 = verts[:, 0]
+        trih = _pack_havel(
+            v0, verts[:, 1] - v0, verts[:, 2] - v0, mids, scene.materials
+        )
+        quadh = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
 
-    trih = quadh = None
-    hcounts = (0, 0)
     if tile_bvh is None and T:
         try:
             verts = np.asarray(jax.device_get(scene.triangles.vertices))
@@ -508,12 +535,19 @@ def _bounce_core(
                 carry = jax.lax.fori_loop(0, count, body, carry)
 
         if n_bvh_nodes:
-            # ---- block-consensus skip-pointer BVH over lane-tile leaves ----
-            # All 1024 rays walk the SAME DFS node sequence (scalar control
-            # flow, bounds in SMEM); a subtree is skipped when no live ray
-            # hits its AABB. A leaf is one 128-triangle lane tile evaluated
-            # vectorially (rays (8,128,1) x tris (1,1,128)). See
-            # ops/bvh_tile.py for why per-ray stacks don't map to TPU.
+            # ---- consensus skip-pointer BVH over Havel lane-tile leaves ----
+            # All rays of a block walk the SAME DFS node sequence (scalar
+            # control flow, bounds in SMEM); a subtree is skipped when no
+            # live ray hits its AABB. Within a leaf visit, consensus drops
+            # to ROW granularity: each (1, 128) row of consecutive sorted
+            # rays evaluates the 128-triangle tile only if one of ITS rays
+            # hit the node bound (sorted rows are ~128-ray spatial clusters,
+            # so this skips most of the block's wasted lanes). The leaf test
+            # is the precomputed plane + edge-plane (Havel) form, and only
+            # (t, tile, lane) of the winner is tracked — attributes are
+            # resolved AFTER traversal by one sweep that descends only into
+            # subtrees containing some ray's winning tile (meta rows 3-4).
+            # See ops/bvh_tile.py for why per-ray stacks don't map to TPU.
             o1 = lambda v: v[..., None]
             eps_d = 1e-20
             sdx = jnp.where(jnp.abs(dx) < eps_d,
@@ -523,90 +557,88 @@ def _bounce_core(
             sdz = jnp.where(jnp.abs(dz) < eps_d,
                             jnp.where(dz >= 0.0, eps_d, -eps_d), dz)
             inv_dx, inv_dy, inv_dz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
-            lane_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (shape[0], shape[1], 128), 2
+            n_rows = shape[0]
+            lane_iota_row = jax.lax.broadcasted_iota(
+                jnp.int32, (1, shape[1], 128), 2
             )
 
-            def tri_row(row, tile):
-                return tri_ref[row, pl.ds(pl.multiple_of(tile, 128), 128)][
+            def hav(row, tile):
+                return trih_ref[row, pl.ds(pl.multiple_of(tile, 128), 128)][
                     None, None, :
                 ]
 
-            def leaf_visit(tile, node_hit, carry):
-                (best_t, w_kind, w_nx, w_ny, w_nz,
-                 w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
-                e1x, e1y, e1z = (tri_row(3, tile), tri_row(4, tile),
-                                 tri_row(5, tile))
-                e2x, e2y, e2z = (tri_row(6, tile), tri_row(7, tile),
-                                 tri_row(8, tile))
-                px = o1(dy) * e2z - o1(dz) * e2y
-                py = o1(dz) * e2x - o1(dx) * e2z
-                pz = o1(dx) * e2y - o1(dy) * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                if backface_cull:
-                    okt = det > FLT_EPSILON
-                else:
-                    okt = jnp.abs(det) > FLT_EPSILON
-                inv = 1.0 / jnp.where(okt, det, 1.0)
-                txx = o1(ox) - tri_row(0, tile)
-                tyy = o1(oy) - tri_row(1, tile)
-                tzz = o1(oz) - tri_row(2, tile)
-                u = (txx * px + tyy * py + tzz * pz) * inv
-                qx = tyy * e1z - tzz * e1y
-                qy = tzz * e1x - txx * e1z
-                qz = txx * e1y - tyy * e1x
-                v = (o1(dx) * qx + o1(dy) * qy + o1(dz) * qz) * inv
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv
-                # Mosaic cannot insert a minor dim on an i1 vector; widen the
-                # per-ray mask to i32 before broadcasting over the lane tile.
-                hit = (
-                    okt & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                    & (u + v <= 1.0) & (t > tmin) & (t < o1(best_t))
-                    & (o1(node_hit.astype(jnp.int32)) != 0)
-                )
-                t_masked = jnp.where(hit, t, BIG)
-                tile_best = jnp.min(t_masked, axis=-1)      # (ROWS, 128)
-                improved = tile_best < best_t
-                is_best = hit & (t_masked <= o1(tile_best))
-                win_lane = jnp.min(
-                    jnp.where(is_best, lane_iota, _LANE_MAX), axis=-1
-                )
-                sel = is_best & (lane_iota == o1(win_lane))
+            w_tile = jnp.full(shape, -1, jnp.int32)  # winning leaf tile
+            w_lane = jnp.zeros(shape, jnp.int32)     # lane within the tile
 
-                def extract(row3):
-                    return jnp.sum(jnp.where(sel, row3, 0.0), axis=-1)
+            def leaf_visit(tile, node_hit, best_t, w_tile, w_lane):
+                nx = hav(0, tile)
+                ny = hav(1, tile)
+                nz = hav(2, tile)
+                dc = hav(3, tile)
+                e1px, e1py, e1pz, d1 = (hav(4, tile), hav(5, tile),
+                                        hav(6, tile), hav(7, tile))
+                e2px, e2py, e2pz, d2 = (hav(8, tile), hav(9, tile),
+                                        hav(10, tile), hav(11, tile))
+                out_t, out_tile, out_lane = [], [], []
+                for r in range(n_rows):
+                    rs = slice(r, r + 1)
 
-                gnx = e1y * e2z - e1z * e2y
-                gny = e1z * e2x - e1x * e2z
-                gnz = e1x * e2y - e1y * e2x
-                gil = jax.lax.rsqrt(
-                    jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, 1e-30)
-                )
+                    def eval_row(args, rs=rs):
+                        bt, wt, wl = args  # (1, 128) each
+                        dxr, dyr, dzr = (o1(dx[rs]), o1(dy[rs]), o1(dz[rs]))
+                        oxr, oyr, ozr = (o1(ox[rs]), o1(oy[rs]), o1(oz[rs]))
+                        dn = dxr * nx + dyr * ny + dzr * nz
+                        if backface_cull:
+                            okt = dn < -FLT_EPSILON
+                        else:
+                            okt = jnp.abs(dn) > FLT_EPSILON
+                        inv = 1.0 / jnp.where(okt, dn, 1.0)
+                        t = (dc - (oxr * nx + oyr * ny + ozr * nz)) * inv
+                        hx = oxr + t * dxr
+                        hy = oyr + t * dyr
+                        hz = ozr + t * dzr
+                        u = e1px * hx + e1py * hy + e1pz * hz + d1
+                        v = e2px * hx + e2py * hy + e2pz * hz + d2
+                        # Widen the row mask to i32: Mosaic cannot insert a
+                        # minor dim on an i1 vector.
+                        hit = (
+                            okt & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                            & (t > tmin) & (t < o1(bt))
+                            & (o1(node_hit[rs].astype(jnp.int32)) != 0)
+                        )
+                        t_masked = jnp.where(hit, t, BIG)
+                        tile_best = jnp.min(t_masked, axis=-1)   # (1, 128)
+                        improved = tile_best < bt
+                        is_best = hit & (t_masked <= o1(tile_best))
+                        win_lane = jnp.min(
+                            jnp.where(is_best, lane_iota_row, _LANE_MAX),
+                            axis=-1,
+                        )
+                        return (
+                            jnp.where(improved, tile_best, bt),
+                            jnp.where(improved, tile, wt),
+                            jnp.where(improved, win_lane, wl),
+                        )
+
+                    row_any = jnp.any(node_hit[rs])
+                    bt, wt, wl = jax.lax.cond(
+                        row_any, eval_row, lambda a: a,
+                        (best_t[rs], w_tile[rs], w_lane[rs]),
+                    )
+                    out_t.append(bt)
+                    out_tile.append(wt)
+                    out_lane.append(wl)
                 return (
-                    jnp.where(improved, tile_best, best_t),
-                    jnp.where(improved, extract(tri_row(tb + 0, tile)), w_kind),
-                    jnp.where(improved, extract(gnx * gil), w_nx),
-                    jnp.where(improved, extract(gny * gil), w_ny),
-                    jnp.where(improved, extract(gnz * gil), w_nz),
-                    jnp.where(improved, extract(tri_row(tb + 1, tile)), w_ar),
-                    jnp.where(improved, extract(tri_row(tb + 2, tile)), w_ag),
-                    jnp.where(improved, extract(tri_row(tb + 3, tile)), w_ab),
-                    jnp.where(improved, extract(tri_row(tb + 4, tile)), w_par),
-                    jnp.where(improved, extract(tri_row(tb + 5, tile)), w_er)
-                    if additive_emission else w_er,
-                    jnp.where(improved, extract(tri_row(tb + 6, tile)), w_eg)
-                    if additive_emission else w_eg,
-                    jnp.where(improved, extract(tri_row(tb + 7, tile)), w_eb)
-                    if additive_emission else w_eb,
+                    jnp.concatenate(out_t, axis=0),
+                    jnp.concatenate(out_tile, axis=0),
+                    jnp.concatenate(out_lane, axis=0),
                 )
 
             def t_cond(c):
                 return c[0] < n_bvh_nodes
 
             def t_body(c):
-                node = c[0]
-                carry = c[1:]
-                best_t = carry[0]
+                node, best_t, w_tile, w_lane = c
                 lo_x, lo_y, lo_z = (bvh_b_ref[0, node], bvh_b_ref[1, node],
                                     bvh_b_ref[2, node])
                 hi_x, hi_y, hi_z = (bvh_b_ref[3, node], bvh_b_ref[4, node],
@@ -628,18 +660,86 @@ def _bounce_core(
                 is_leaf = bvh_m_ref[0, node] == 1
                 tile = bvh_m_ref[1, node]
                 skip = bvh_m_ref[2, node]
-                carry = jax.lax.cond(
+                best_t, w_tile, w_lane = jax.lax.cond(
                     any_hit & is_leaf,
-                    lambda cr: leaf_visit(tile, node_hit, cr),
-                    lambda cr: cr,
-                    carry,
+                    lambda a: leaf_visit(tile, node_hit, *a),
+                    lambda a: a,
+                    (best_t, w_tile, w_lane),
                 )
                 nxt = jnp.where(any_hit & jnp.logical_not(is_leaf),
                                 node + 1, skip)
-                return (nxt, *carry)
+                return (nxt, best_t, w_tile, w_lane)
 
-            out = jax.lax.while_loop(t_cond, t_body, (jnp.int32(0), *carry))
-            carry = out[1:]
+            _, bvh_t, w_tile, w_lane = jax.lax.while_loop(
+                t_cond, t_body, (jnp.int32(0), carry[0], w_tile, w_lane)
+            )
+
+            # ---- winner-attribute resolution sweep --------------------
+            # Descend only into subtrees whose leaf-tile range contains
+            # some ray's winning tile; at those leaves, extract the 11
+            # attribute rows for exactly the rays that won there. Havel
+            # rows 0-2 are the unit normal, so no cross product is needed.
+            lane_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (shape[0], shape[1], 128), 2
+            )
+            hb = HAVEL_ROWS
+
+            def resolve(tile, carry):
+                (w_kind, w_nx, w_ny, w_nz,
+                 w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+                ray_sel = w_tile == tile                      # (ROWS, 128)
+                sel = (o1(ray_sel.astype(jnp.int32)) != 0) & (
+                    lane_iota == o1(w_lane)
+                )
+
+                def extract(row3):
+                    return jnp.sum(jnp.where(sel, row3, 0.0), axis=-1)
+
+                return (
+                    jnp.where(ray_sel, extract(hav(hb + 0, tile)), w_kind),
+                    jnp.where(ray_sel, extract(hav(0, tile)), w_nx),
+                    jnp.where(ray_sel, extract(hav(1, tile)), w_ny),
+                    jnp.where(ray_sel, extract(hav(2, tile)), w_nz),
+                    jnp.where(ray_sel, extract(hav(hb + 1, tile)), w_ar),
+                    jnp.where(ray_sel, extract(hav(hb + 2, tile)), w_ag),
+                    jnp.where(ray_sel, extract(hav(hb + 3, tile)), w_ab),
+                    jnp.where(ray_sel, extract(hav(hb + 4, tile)), w_par),
+                    jnp.where(ray_sel, extract(hav(hb + 5, tile)), w_er)
+                    if additive_emission else w_er,
+                    jnp.where(ray_sel, extract(hav(hb + 6, tile)), w_eg)
+                    if additive_emission else w_eg,
+                    jnp.where(ray_sel, extract(hav(hb + 7, tile)), w_eb)
+                    if additive_emission else w_eb,
+                )
+
+            def r_cond(c):
+                return c[0] < n_bvh_nodes
+
+            def r_body(c):
+                node = c[0]
+                attr = c[1:]
+                is_leaf = bvh_m_ref[0, node] == 1
+                tile = bvh_m_ref[1, node]
+                skip = bvh_m_ref[2, node]
+                t_lo = bvh_m_ref[3, node]
+                t_hi = bvh_m_ref[4, node]
+                # w_tile is -1 for rays the mesh did not win (t_lo >= 0).
+                inb = (w_tile >= t_lo) & (w_tile < t_hi)
+                any_in = jnp.any(inb)
+                attr = jax.lax.cond(
+                    any_in & is_leaf,
+                    lambda a: resolve(tile, a),
+                    lambda a: a,
+                    attr,
+                )
+                nxt = jnp.where(any_in & jnp.logical_not(is_leaf),
+                                node + 1, skip)
+                return (nxt, *attr)
+
+            out = jax.lax.while_loop(
+                r_cond, r_body, (jnp.int32(0), *carry[1:])
+            )
+            carry = (bvh_t, *out[1:])
 
         (best_t, w_kind, w_nx, w_ny, w_nz,
          w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
@@ -1314,7 +1414,7 @@ def _scene_arrays(packed_shaded):
     n_bvh_nodes = 0 if bvh_b is None else int(bvh_b.shape[1])
     if bvh_b is None:
         bvh_b = jnp.zeros((6, 1), jnp.float32)
-        bvh_m = jnp.zeros((3, 1), jnp.int32)
+        bvh_m = jnp.zeros((5, 1), jnp.int32)
     trih = packed_shaded.trih
     quadh = packed_shaded.quadh
     hcounts = tuple(packed_shaded.hcounts)
@@ -1322,8 +1422,14 @@ def _scene_arrays(packed_shaded):
         trih = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
         quadh = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
         hcounts = (0, 0)
+    triangles = packed_shaded.triangles
+    if n_bvh_nodes:
+        # The traversal reads Havel leaf tiles (trih); the Möller–Trumbore
+        # base rows are unused in-kernel — pass a 1-column dummy so they
+        # don't occupy SMEM/VMEM or HBM bandwidth.
+        triangles = triangles[:, :1]
     arrays = (packed_shaded.spheres, packed_shaded.planes,
-              packed_shaded.triangles, trih, quadh, bvh_b, bvh_m)
+              triangles, trih, quadh, bvh_b, bvh_m)
     return arrays, n_bvh_nodes, hcounts
 
 

@@ -73,18 +73,20 @@ def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
     return jnp.where(alive != 0, key, jnp.int32(DEAD_KEY))
 
 
-def sort_wavefront(state, pid, slot, lo, hi):
-    """Sort the 14-tuple planar bounce state (+ pixel id, + original slot)
-    by the coherence key, in ONE lax.sort call.
+def sort_wavefront(state, pid, slot, lo, hi, extras=()):
+    """Sort the 14-tuple planar bounce state (+ pixel id, + original slot,
+    + any extra per-ray rows) by the coherence key, in ONE lax.sort call.
 
-    state: (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz)
-    pid:   (N,) int32 pixel id (drives the counter RNG — order-independent)
-    slot:  (N,) int32 original wavefront position (for the final unsort)
+    state:  (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz)
+    pid:    (N,) int32 pixel id (drives the counter RNG — order-independent)
+    slot:   (N,) int32 original wavefront position (for the final unsort)
+    extras: tuple of (N,) arrays that ride along (e.g. per-ray RNG key words
+            when several spp share one multi-sample wavefront)
     """
     ox, oy, oz, dx, dy, dz, tm, alive = state[:8]
     key = ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi)
-    out = jax.lax.sort((key, *state, pid, slot), num_keys=1)
-    return out[1:15], out[15], out[16]
+    out = jax.lax.sort((key, *state, pid, slot, *extras), num_keys=1)
+    return out[1:15], out[15], out[16], tuple(out[17:])
 
 
 def unsort_radiance(slot, rx, ry, rz, n: int) -> jnp.ndarray:

@@ -101,12 +101,17 @@ def test_sort_wavefront_roundtrip_permutation():
     slot = jnp.arange(n, dtype=jnp.int32)
     lo = jnp.asarray([-2.0, -2.0, -2.0])
     hi = jnp.asarray([2.0, 2.0, 2.0])
-    s_state, s_pid, s_slot = sort_wavefront(state, pid, slot, lo, hi)
+    extra = jnp.arange(n, dtype=jnp.int32) * 3 + 1
+    s_state, s_pid, s_slot, (s_extra,) = sort_wavefront(
+        state, pid, slot, lo, hi, extras=(extra,)
+    )
     # A permutation: every (pid, value) pair survives intact.
     order = np.argsort(np.asarray(s_slot))
     for a, b in zip(state, s_state):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[order])
     np.testing.assert_array_equal(np.asarray(s_pid)[order], np.asarray(pid))
+    # Extra rows ride the same permutation.
+    np.testing.assert_array_equal(np.asarray(s_extra)[order], np.asarray(extra))
     # Dead rays clustered at the tail.
     alive_sorted = np.asarray(s_state[7])
     first_dead = np.argmin(alive_sorted) if (alive_sorted == 0).any() else n

@@ -1246,9 +1246,11 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # Brute path reads triangles one scalar at a time (SMEM); the traversal
-    # path streams 128-wide leaf tiles with dynamic starts (VMEM).
-    tri_spec = pl.BlockSpec(
+    # The brute path reads tri/trih one scalar at a time (SMEM); the
+    # traversal path streams trih leaf tiles 128-wide via pl.ds (VMEM —
+    # SMEM allows only scalar loads, the r02 on-hardware failure mode)
+    # while tri is a 1-column dummy that stays scalar-addressed.
+    trih_spec = pl.BlockSpec(
         memory_space=pltpu.VMEM if n_bvh_nodes else pltpu.SMEM
     )
     outs = pl.pallas_call(
@@ -1256,7 +1258,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
         grid=(n_blocks,),
         in_specs=(
             [smem_spec] + [ray_spec] * 18
-            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec,
+            + [smem_spec, smem_spec, smem_spec, trih_spec, smem_spec,
                smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 13,
@@ -1310,7 +1312,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec(
+    trih_spec = pl.BlockSpec(
         memory_space=pltpu.VMEM if n_bvh_nodes else pltpu.SMEM
     )
     outs = pl.pallas_call(
@@ -1318,7 +1320,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         grid=(n_blocks,),
         in_specs=(
             [smem_spec] + [ray_spec] * 9
-            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec,
+            + [smem_spec, smem_spec, smem_spec, trih_spec, smem_spec,
                smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 3,
@@ -1369,7 +1371,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec(
+    trih_spec = pl.BlockSpec(
         memory_space=pltpu.VMEM if n_bvh_nodes else pltpu.SMEM
     )
     outs = pl.pallas_call(
@@ -1377,7 +1379,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
         grid=(n_blocks,),
         in_specs=(
             [smem_spec, smem_spec] + [ray_spec] * 4
-            + [smem_spec, smem_spec, tri_spec, smem_spec, smem_spec,
+            + [smem_spec, smem_spec, smem_spec, trih_spec, smem_spec,
                smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 3,

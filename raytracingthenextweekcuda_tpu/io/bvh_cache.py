@@ -52,6 +52,74 @@ def load_bvh(path: str) -> BVH:
         )
 
 
+# ---------------------------------------------------------------------------
+# TileBVH sidecar cache (the production accel structure, ops/bvh_tile.py).
+# The reference transparently caches <mesh>.bvh next to the model and
+# invalidates by mtime (BVH.cpp:500-554); here the key is a content hash and
+# the store lives under a writable cache dir (reference assets are mounted
+# read-only), overridable with RTNW_BVH_CACHE (empty string disables).
+
+def _tile_cache_dir() -> str | None:
+    d = os.environ.get(
+        "RTNW_BVH_CACHE", os.path.expanduser("~/.cache/rtnw_tpu")
+    )
+    return d or None
+
+
+def save_tile_bvh(path: str, tb) -> None:
+    np.savez_compressed(
+        path, bounds=tb.bounds, meta=tb.meta, perm=tb.perm
+    )
+
+
+def load_tile_bvh(path: str):
+    from raytracingthenextweekcuda_tpu.ops.bvh_tile import TileBVH
+
+    with np.load(path) as z:
+        return TileBVH(
+            bounds=z["bounds"], meta=z["meta"], perm=z["perm"]
+        )
+
+
+def build_or_load_tile_bvh(vertices: np.ndarray, leaf_size: int = 128):
+    """TileBVH for `vertices`, consulting the content-hash cache.
+
+    Build preference: native binned-SAH tile derivation
+    (ops/bvh_tile.build_tile_bvh_sah) when librtnw_native.so is present,
+    else the numpy median split. The cache key includes the builder so a
+    native build never serves a median-split artifact or vice versa.
+    """
+    from raytracingthenextweekcuda_tpu import native
+    from raytracingthenextweekcuda_tpu.ops.bvh_tile import (
+        build_tile_bvh,
+        build_tile_bvh_sah,
+    )
+
+    use_sah = native.available()
+    cache_dir = _tile_cache_dir()
+    path = None
+    if cache_dir is not None:
+        tag = "sah" if use_sah else "med"
+        path = os.path.join(
+            cache_dir,
+            f"tile_{tag}{leaf_size}_{mesh_hash(vertices)}.npz",
+        )
+        if os.path.exists(path):
+            try:
+                return load_tile_bvh(path)
+            except Exception:
+                pass  # corrupt cache -> rebuild
+    tb = (build_tile_bvh_sah(vertices, leaf_size) if use_sah
+          else build_tile_bvh(vertices, leaf_size))
+    if path is not None:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            save_tile_bvh(path, tb)
+        except OSError:
+            pass  # unwritable cache dir -> skip caching
+    return tb
+
+
 def build_or_load(triangles, mesh_path: str | None = None) -> BVH:
     """Build the LBVH, consulting the sidecar cache when a path is given."""
     if mesh_path is None:

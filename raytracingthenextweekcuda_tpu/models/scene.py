@@ -70,13 +70,17 @@ def finalize(scene: Scene, use_bvh: bool | None = None,
         use_bvh = scene.triangles.count > bvh_threshold
     tile_bvh = None
     if use_bvh and scene.triangles.count >= 2:
-        from raytracingthenextweekcuda_tpu.ops.bvh_tile import (
-            build_tile_bvh,
-            permute_rows,
+        from raytracingthenextweekcuda_tpu.io.bvh_cache import (
+            build_or_load_tile_bvh,
         )
 
         tri = scene.triangles
-        tile_bvh = build_tile_bvh(np.asarray(jax.device_get(tri.vertices)))
+        # Native-SAH-structured tiles when librtnw_native.so is built
+        # (reference parity: host SAH build BVH.cpp:94-333), median split
+        # otherwise; content-hash disk cache either way (BVH.cpp:500-554).
+        tile_bvh = build_or_load_tile_bvh(
+            np.asarray(jax.device_get(tri.vertices))
+        )
         perm = tile_bvh.perm
         valid = perm >= 0
         Tp = perm.shape[0]

@@ -60,10 +60,12 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_sah_bvh(triangles):
+def build_sah_bvh(triangles, to_jnp: bool = True):
     """Native binned-SAH build -> ops.bvh.BVH (same contract as build_bvh).
 
-    Raises RuntimeError if the native library is absent or the build fails.
+    `to_jnp=False` keeps the arrays as host numpy (used by the tile-BVH
+    deriver, which walks the tree on the host). Raises RuntimeError if the
+    native library is absent or the build fails.
     """
     from raytracingthenextweekcuda_tpu.ops.bvh import BVH
 
@@ -94,14 +96,15 @@ def build_sah_bvh(triangles):
     )
     if depth <= 0:
         raise RuntimeError(f"native SAH build failed (code {depth})")
+    conv = jnp.asarray if to_jnp else (lambda a: a)
     return BVH(
-        left=jnp.asarray(left),
-        right=jnp.asarray(right),
-        node_lo=jnp.asarray(node_lo),
-        node_hi=jnp.asarray(node_hi),
-        tri_order=jnp.asarray(tri_order),
-        range_first=jnp.asarray(range_first),
-        range_last=jnp.asarray(range_last),
+        left=conv(left),
+        right=conv(right),
+        node_lo=conv(node_lo),
+        node_hi=conv(node_hi),
+        tri_order=conv(tri_order),
+        range_first=conv(range_first),
+        range_last=conv(range_last),
     )
 
 

@@ -115,6 +115,75 @@ def build_tile_bvh(vertices: np.ndarray, leaf_size: int = LEAF_SIZE) -> TileBVH:
     return TileBVH(bounds=bounds, meta=meta, perm=perm)
 
 
+def build_tile_bvh_sah(vertices: np.ndarray,
+                       leaf_size: int = LEAF_SIZE) -> TileBVH:
+    """TileBVH whose split structure follows the native binned-SAH tree.
+
+    The C++ builder (native/bvh_builder.cpp, the analogue of the
+    reference's host SAH build BVH.cpp:94-333) produces a per-triangle
+    binary tree with contiguous leaf ranges; this walks it top-down and
+    cuts a lane-tile leaf at the first subtree with <= leaf_size triangles,
+    so every 128-triangle tile is an SAH-clustered spatial group rather
+    than a median-split one. Same DFS skip-pointer emission as
+    build_tile_bvh. Raises RuntimeError when the native lib is absent.
+    """
+    from raytracingthenextweekcuda_tpu import native
+
+    class _Tris:
+        pass
+
+    tris = _Tris()
+    tris.vertices = np.asarray(vertices, np.float32)
+    b = native.build_sah_bvh(tris, to_jnp=False)
+    left, right = b.left, b.right
+    node_lo, node_hi, tri_order = b.node_lo, b.node_hi, b.tri_order
+    rf, rl = b.range_first, b.range_last
+    i_n = left.shape[0]  # internal nodes; leaves are i_n + leaf_pos
+
+    bounds_list: list[np.ndarray] = []
+    meta_list: list[list[int]] = []  # [is_leaf, tile_start, skip]
+    chunks: list[np.ndarray] = []
+
+    # Iterative preorder with explicit finish markers (SAH trees can be
+    # deep on degenerate inputs; no Python recursion).
+    stack: list[tuple[str, int]] = [("visit", 0)]
+    while stack:
+        op, x = stack.pop()
+        if op == "finish":
+            meta_list[x][2] = len(meta_list)  # skip = past this subtree
+            continue
+        node_id = len(meta_list)
+        bounds_list.append(
+            np.concatenate([node_lo[x], node_hi[x]]).astype(np.float32)
+        )
+        if x >= i_n:
+            first = last = x - i_n
+        else:
+            first, last = int(rf[x]), int(rl[x])
+        count = last - first + 1
+        if count <= leaf_size:
+            tile_start = len(chunks) * leaf_size
+            chunk = np.full((leaf_size,), -1, np.int32)
+            chunk[:count] = tri_order[first : last + 1]
+            chunks.append(chunk)
+            meta_list.append([1, tile_start, node_id + 1])
+        else:
+            meta_list.append([0, 0, 0])
+            stack.append(("finish", node_id))
+            stack.append(("visit", int(right[x])))
+            stack.append(("visit", int(left[x])))
+
+    M = len(meta_list)
+    bounds = np.stack(bounds_list, axis=1).astype(np.float32)
+    meta = np.asarray(meta_list, np.int32).T.copy()
+    perm = (
+        np.concatenate(chunks).astype(np.int32)
+        if chunks else np.full((leaf_size,), -1, np.int32)
+    )
+    assert meta.shape == (3, M)
+    return TileBVH(bounds=bounds, meta=meta, perm=perm)
+
+
 def permute_rows(rows: np.ndarray, perm: np.ndarray) -> np.ndarray:
     """Reorder per-triangle planar rows (R, T) into leaf-tile order
     (R, n_leaves*LEAF_SIZE), zero-filling padded slots."""
@@ -125,4 +194,5 @@ def permute_rows(rows: np.ndarray, perm: np.ndarray) -> np.ndarray:
     return out
 
 
-__all__ = ["TileBVH", "build_tile_bvh", "permute_rows", "LEAF_SIZE"]
+__all__ = ["TileBVH", "build_tile_bvh", "build_tile_bvh_sah",
+           "permute_rows", "LEAF_SIZE"]

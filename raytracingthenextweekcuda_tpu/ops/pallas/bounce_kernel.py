@@ -88,6 +88,22 @@ def _mat_rows(materials, material_id):
     )
 
 
+def _mat_rows_np(materials, material_id):
+    """Numpy _mat_rows for concrete scenes (raises on tracers)."""
+    import numpy as np
+
+    g = jax.device_get
+    mid = np.maximum(np.asarray(g(material_id)), 0)
+    kind = np.asarray(g(materials.kind))[mid].astype(np.float32)
+    albedo = np.asarray(g(materials.albedo), np.float32)[mid]
+    param = np.asarray(g(materials.param), np.float32)[mid]
+    emis = np.asarray(g(materials.emission), np.float32)[mid]
+    return np.stack(
+        [kind, albedo[:, 0], albedo[:, 1], albedo[:, 2], param,
+         emis[:, 0], emis[:, 1], emis[:, 2]], axis=0,
+    )
+
+
 def _merge_parallelograms(verts, mat_id):
     """Detect coplanar triangle pairs that form parallelograms.
 
@@ -169,7 +185,7 @@ def _pack_havel(v0, e1, e2, mat_id, materials):
     )
 
     K = v0.shape[0]
-    out = np.zeros((HAVEL_ROWS, _pad128(K)), np.float32)
+    out = np.zeros((HAVEL_ROWS + MAT_ROWS, _pad128(K)), np.float32)
     if K:
         n = np.cross(e1, e2)
         nn = np.maximum((n * n).sum(-1, keepdims=True), 1e-30)
@@ -182,14 +198,11 @@ def _pack_havel(v0, e1, e2, mat_id, materials):
         out[7, :K] = -(e1p * v0).sum(-1)
         out[8:11, :K] = e2p.T
         out[11, :K] = -(e2p * v0).sum(-1)
-    # Padding columns: n̂ = 0 -> dn = 0 -> gate fails, never hit.
-    arr = jnp.asarray(out)
-    rows = jnp.zeros((MAT_ROWS, arr.shape[1]), arr.dtype)
-    if K:
-        rows = rows.at[:, :K].set(
-            _mat_rows(materials, jnp.asarray(mat_id, jnp.int32))
+        out[HAVEL_ROWS:, :K] = _mat_rows_np(
+            materials, np.asarray(mat_id, np.int32)
         )
-    return jnp.concatenate([arr, rows], axis=0)
+    # Padding columns: n̂ = 0 -> dn = 0 -> gate fails, never hit.
+    return jnp.asarray(out)
 
 
 def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
@@ -217,16 +230,44 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
     from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
         PackedScene,
         pack_scene,
+        pack_scene_host,
     )
 
-    base = pack_scene(scene, include_triangles=True)
+    # Host (numpy) packing when the scene is concrete — finalize-time. The
+    # eager jnp fallback compiles ~70 one-off XLA programs per scene (~90 s
+    # through the TPU relay); it remains only for tracer scenes (on-device
+    # repacking inside jitted fit steps), which never carry a tile-BVH.
+    try:
+        base = pack_scene_host(scene, include_triangles=True, to_jnp=False)
+        host = True
+    except jax.errors.TracerArrayConversionError:
+        if tile_bvh is not None:
+            raise AssertionError(
+                "tile-BVH packing requires concrete (host-built) geometry; "
+                "got tracer scene arrays"
+            ) from None
+        base = pack_scene(scene, include_triangles=True)
+        host = False
     S, P, T = base.counts
 
-    def extend(arr, prim, count):
-        rows = jnp.zeros((MAT_ROWS, arr.shape[1]), arr.dtype)
-        if count:
-            rows = rows.at[:, :count].set(_mat_rows(scene.materials, prim.material_id))
-        return jnp.concatenate([arr, rows], axis=0)
+    if host:
+        def extend(arr, prim, count):
+            out = np.zeros((arr.shape[0] + MAT_ROWS, arr.shape[1]),
+                           np.float32)
+            out[: arr.shape[0]] = arr
+            if count:
+                out[arr.shape[0]:, :count] = _mat_rows_np(
+                    scene.materials, prim.material_id
+                )
+            return jnp.asarray(out)
+    else:
+        def extend(arr, prim, count):
+            rows = jnp.zeros((MAT_ROWS, arr.shape[1]), arr.dtype)
+            if count:
+                rows = rows.at[:, :count].set(
+                    _mat_rows(scene.materials, prim.material_id)
+                )
+            return jnp.concatenate([arr, rows], axis=0)
 
     bvh_bounds = bvh_meta = None
     trih = quadh = None

@@ -190,6 +190,75 @@ def pack_scene(scene, include_triangles: bool = True) -> PackedScene:
                        has_emission=has_emission)
 
 
+def pack_scene_host(scene, include_triangles: bool = True,
+                    to_jnp: bool = True) -> PackedScene:
+    """Pure-numpy pack_scene for CONCRETE scenes (finalize-time fast path).
+
+    Bit-identical arrays to pack_scene (tests/test_intersect.py asserts),
+    but zero XLA dispatches: the eager jnp `.at[].set` chain in pack_scene
+    compiles ~70 one-off programs per scene (~25 s on CPU, ~90 s through
+    the axon TPU relay) — unacceptable per finalize. jnp pack_scene remains
+    the jit-safe path for on-device repacking inside fit steps.
+
+    Raises jax.errors.TracerArrayConversionError on abstract scenes;
+    callers fall back to pack_scene.
+    """
+    g = jax.device_get
+    npf = np.float32
+
+    sph = scene.spheres
+    S = sph.count
+    sp = np.zeros((10, _pad128(S)), npf)
+    if S:
+        c0 = np.asarray(g(sph.center0), npf)
+        dc = np.asarray(g(sph.center1), npf) - c0
+        t0 = np.asarray(g(sph.time0), npf)
+        t1 = np.asarray(g(sph.time1), npf)
+        sp[0:3, :S] = c0.T
+        sp[3:6, :S] = dc.T
+        sp[6, :S] = t0
+        sp[7, :S] = npf(1.0) / (t1 - t0)
+        sp[8, :S] = np.asarray(g(sph.radius), npf)
+
+    pla = scene.planes
+    P = pla.count
+    pp = np.zeros((13, _pad128(P)), npf)
+    if P:
+        pos = np.asarray(g(pla.position), npf)
+        ext = np.asarray(g(pla.extend), npf)
+        lo = pos - ext
+        hi = pos + ext
+        orient = np.asarray(g(pla.orientation))
+        open_axis = np.asarray([2, 0, 1], np.int32)[orient]
+        is_open = np.arange(3)[None, :] == open_axis[:, None]
+        lo = np.where(is_open, npf(-3e38), lo)
+        hi = np.where(is_open, npf(3e38), hi)
+        pp[0:3, :P] = pos.T
+        pp[3:6, :P] = np.asarray(g(pla.normal), npf).T
+        pp[6:9, :P] = lo.T
+        pp[9:12, :P] = hi.T
+        pp[12, :P] = np.asarray(g(pla.two_sided)).astype(npf)
+
+    tri = scene.triangles
+    T = tri.count if include_triangles else 0
+    tp = np.zeros((9, _pad128(T)), npf)
+    if T:
+        v = np.asarray(g(tri.vertices), npf)
+        tp[0:3, :T] = v[:, 0].T
+        tp[3:6, :T] = (v[:, 1] - v[:, 0]).T
+        tp[6:9, :T] = (v[:, 2] - v[:, 0]).T
+
+    kinds = np.asarray(g(scene.materials.kind))
+    used_kinds = tuple(sorted({int(k) for k in kinds}))
+    has_emission = bool(np.any(np.asarray(g(scene.materials.emission))))
+
+    conv = jnp.asarray if to_jnp else (lambda a: a)
+    return PackedScene(
+        conv(sp), conv(pp), conv(tp), (S, P, T),
+        used_kinds, has_emission=has_emission,
+    )
+
+
 def _intersect_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
     sph_ref, pla_ref, tri_ref,

@@ -9,6 +9,7 @@ that 2.17 M paths/s.
 
 from __future__ import annotations
 
+import os
 import time
 
 REFERENCE_PATHS_PER_SEC = 512 * 512 * 32 / 3.857460  # images/images.MD:44-53
@@ -86,18 +87,25 @@ def run_bench(
     return result
 
 
-def run_mesh_bench(
-    width: int = 256, height: int = 256, spp: int = 8, bounces: int = 8,
-    n_lat: int = 64, n_lon: int = 128, spp_per_pass: int = 4,
-) -> dict:
-    """Secondary metric: dense-mesh BVH path (BASELINE config 4 analogue).
+_REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"
 
-    A 16k-triangle UV sphere under an area light, traced through the
-    megastep's block-consensus tile-BVH traversal — the counterpart of the
-    reference's bunny/materialball texture-memory BVH renders. Kept at
-    256x256 with small passes: one giant dispatch on this (still slow,
-    known-weak) path would trip the TPU watchdog. Optimizing this path
-    (sorted ray wavefronts -> coherent blocks) is the top perf item.
+
+def run_mesh_bench(
+    width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
+    spp_per_pass: int = 16,
+) -> dict:
+    """Secondary metric: BASELINE config 4 on the reference's OWN assets.
+
+    The exact scene the reference's published numbers time: cornellbox2.yaml
+    (5 walls + area light + metal/glass spheres + two rotated cube meshes,
+    main.cu:629) PLUS materialball.ply — 46,816 triangles, COAT, normalized
+    and offset (0.1, 0, -1) exactly as prepareCUDAscene does
+    (main.cu:428-432) — at the published config: 512x512, 32 spp,
+    <=10 bounces = 3857.460 ms on the reference GPU (images/images.MD:44-53,
+    ~2.17 M paths/s). Rendered through the tile-BVH work-list winner path.
+
+    Falls back to a 16k-tri procedural stand-in when /root/reference is not
+    mounted (CI), and says so in the "asset" field.
     """
     import time
 
@@ -109,9 +117,28 @@ def run_mesh_bench(
     from raytracingthenextweekcuda_tpu.models import integrator, presets
     from raytracingthenextweekcuda_tpu.models.scene import finalize
 
-    scene, camera = presets.mesh_showcase(n_lat=n_lat, n_lon=n_lon)
+    scene_yaml = f"{_REF_RES}/scenes/cornellbox2.yaml"
+    ball_ply = f"{_REF_RES}/models/materialball/materialball.ply"
+    if os.path.exists(scene_yaml) and os.path.exists(ball_ply):
+        from raytracingthenextweekcuda_tpu.io.ply import load_ply
+        from raytracingthenextweekcuda_tpu.io.yaml_scene import (
+            load_scene_builder,
+        )
+
+        builder, camera = load_scene_builder(scene_yaml)
+        tris_arr = load_ply(ball_ply, offset=(0.1, 0.0, -1.0))
+        # COAT: Path B's clear-coat diffuse (CUDAPathTracer.cu:522-563);
+        # specular layer is hard-coded white there, diffuse color rides the
+        # triangle — materialball ships uncolored, so 0.9 grey.
+        builder.coat(20, (0.9, 0.9, 0.9))
+        builder.mesh(tris_arr, 20)
+        scene = builder.build()
+        asset = "cornellbox2.yaml + materialball.ply"
+    else:
+        scene, camera = presets.mesh_showcase(n_lat=64, n_lon=128)
+        asset = "procedural uv-sphere stand-in (reference not mounted)"
     tris = int(scene.triangles.count)
-    scene = finalize(scene)  # > threshold -> tile-BVH inside the megastep
+    scene = finalize(scene)  # > threshold -> tile-BVH winner-kernel path
 
     cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces,
                        spp_per_pass=spp_per_pass)
@@ -125,10 +152,13 @@ def run_mesh_bench(
     film = integrator.render(scene, camera, cfg, key=key)
     sync(film.accum)
     dt = time.perf_counter() - t0
+    paths_per_sec = width * height * spp / dt
     return {
-        "paths_per_sec": round(width * height * spp / dt, 1),
+        "paths_per_sec": round(paths_per_sec, 1),
+        "vs_baseline": round(paths_per_sec / REFERENCE_PATHS_PER_SEC, 3),
         "render_ms": round(dt * 1000, 2),
         "triangles": tris,
+        "asset": asset,
         "config": {"width": width, "height": height, "spp": spp,
                    "bounces": bounces},
     }

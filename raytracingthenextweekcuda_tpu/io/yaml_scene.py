@@ -75,6 +75,17 @@ def load_scene(
     path: str, model_roots=None, extra_camera_kw=None
 ) -> tuple[Scene, Camera]:
     """Load a reference-format YAML scene file -> (Scene, Camera)."""
+    builder, camera = load_scene_builder(path, model_roots, extra_camera_kw)
+    return builder.build(), camera
+
+
+def load_scene_builder(
+    path: str, model_roots=None, extra_camera_kw=None
+) -> tuple[SceneBuilder, Camera]:
+    """Like load_scene, but returns the un-built SceneBuilder so callers
+    can append objects first (e.g. bench.py adds the reference's
+    materialball mesh on top of cornellbox2.yaml, mirroring
+    prepareCUDAscene's composition at main.cu:428-432 + :675-786)."""
     if model_roots is None:
         model_roots = DEFAULT_MODEL_ROOTS + [os.path.dirname(os.path.abspath(path))]
     with open(path) as f:
@@ -122,4 +133,4 @@ def load_scene(
         else:
             raise ValueError(f"unknown primitive type {prim_type} ({kind_name})")
 
-    return builder.build(), camera
+    return builder, camera

@@ -160,88 +160,97 @@ def _fused_eligible(scene: Scene, cfg: RenderConfig) -> bool:
 
 
 def _sorted_eligible(scene: Scene, cfg: RenderConfig) -> bool:
-    """Static test: tile-BVH scene rendered via the sorted wavefront.
+    """Static test: tile-BVH scene rendered via the sorted XLA wavefront.
 
-    BVH scenes bounce per-dispatch (ops/pallas/bounce_kernel.bounce_step)
-    with an XLA sort between bounces (ops/wavefront_sort.py) instead of the
-    whole-render megastep: block-consensus traversal needs coherent blocks,
-    and only re-sorted wavefronts stay coherent past the first diffuse
-    bounce.
+    Tile-BVH scenes bounce through the work-list winner kernel
+    (ops/pallas/bvh_winner_kernel.py) inside the standard differentiable
+    XLA bounce, with a coherence sort between bounces
+    (ops/wavefront_sort.py): the per-block leaf work lists shrink only when
+    1024-ray blocks stay spatially coherent, and only re-sorted wavefronts
+    stay coherent past the first diffuse bounce. Unlike the fused megastep
+    this path is differentiable, so it serves forward AND inverse rendering
+    on meshes.
     """
     return (
-        _fused_eligible(scene, cfg)
-        and cfg.sort_rays
-        and getattr(scene.packed, "bvh_bounds", None) is not None
+        cfg.sort_rays
+        and scene.packed is not None
+        and getattr(scene.packed, "shaded", False)
+        and getattr(scene.packed, "leaf_bounds", None) is not None
+        and scene.bvh is None
     )
 
 
 def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
     """Sorted-wavefront trace for tile-BVH scenes (see _sorted_eligible).
 
-    Each bounce is one fused Pallas megastep over the planar wavefront;
-    between bounces the state is re-sorted by direction-octant + position-
-    morton so 1024-ray blocks stay spatially coherent for the block-
-    consensus traversal, with dead rays clustering into whole skipped
+    Each bounce is the standard XLA bounce body (winner kernels + gathered
+    differentiable recompute + branchless BSDF); between bounces the
+    wavefront is re-sorted by direction-octant + position-morton so
+    1024-ray blocks stay spatially coherent for the winner kernel's
+    per-block leaf work lists, with dead rays clustering into whole skipped
     blocks. The per-(pixel, bounce) counter RNG rides the pixel id through
-    the sort, so the result is bit-identical to the unsorted megastep.
+    the sort, so the result is bit-identical to the unsorted XLA trace
+    (elementwise math is row-independent; sort + unsort is a permutation).
     """
-    from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
-        bounce_step,
-        planar_state,
-    )
     from raytracingthenextweekcuda_tpu.ops.wavefront_sort import (
-        sort_wavefront,
+        ray_sort_key,
         unsort_radiance,
     )
 
     packed = scene.packed
-    interpret = jax.default_backend() == "cpu"
     n = rays.count
-    state = planar_state(rays)
-    n_pad = state[0].shape[0]
-
-    def pad_to(a, fill=0):
-        a = jnp.asarray(a)
-        return a if n_pad == n else jnp.pad(a, (0, n_pad - n),
-                                            constant_values=fill)
-
-    # Padding rays are dead from the start (alive=0) and carry slot/pid past
-    # n, so both sorts keep them at the tail and unsort drops them.
-    pid = pad_to(ctx.pixel_id.astype(jnp.int32))
-    if n != n_pad:
-        pid = pid.at[n:].set(jnp.arange(n, n_pad, dtype=jnp.int32))
-    slot = jnp.arange(n_pad, dtype=jnp.int32)
-    # Per-ray RNG key words ride the sort (multi-sample wavefronts carry a
-    # different jax.random key per sample; int32 for lax.sort's operand set).
-    b0 = pad_to(jnp.broadcast_to(ctx.base0, (n,)).astype(jnp.int32))
-    b1 = pad_to(jnp.broadcast_to(ctx.base1, (n,)).astype(jnp.int32))
+    dtype = rays.origin.dtype
+    pid = ctx.pixel_id.astype(jnp.int32)
+    b0 = jnp.broadcast_to(ctx.base0, (n,)).astype(jnp.int32)
+    b1 = jnp.broadcast_to(ctx.base1, (n,)).astype(jnp.int32)
+    slot = jnp.arange(n, dtype=jnp.int32)
     lo = packed.bvh_bounds[0:3, 0]
     hi = packed.bvh_bounds[3:6, 0]
 
+    state = (
+        rays,
+        jnp.ones((n, 3), dtype),   # throughput
+        jnp.zeros((n, 3), dtype),  # radiance
+        jnp.ones((n,), bool),      # alive
+    )
+    carry = (state, pid, slot, b0, b1)
+
     def step(carry, bounce_idx):
         state, pid, slot, b0, b1 = carry
-        u4 = rng.bounce_uniforms(
-            rng.RayCtx(pid.astype(jnp.uint32),
-                       b0.astype(jnp.uint32), b1.astype(jnp.uint32)),
-            bounce_idx,
+        ctx_b = rng.RayCtx(
+            pid.astype(jnp.uint32), b0.astype(jnp.uint32),
+            b1.astype(jnp.uint32),
         )
-        do_rr = (bounce_idx >= cfg.rr_start_bounce).astype(jnp.int32)
-        state = bounce_step(
-            scene, packed, state, u4, do_rr, cfg, interpret=interpret
-        )
-        return state, pid, slot, b0, b1
+        state = _bounce_body(scene, cfg, state, ctx_b, bounce_idx)
+        return (state, pid, slot, b0, b1)
 
     def sort_then_step(carry, bounce_idx):
         state, pid, slot, b0, b1 = carry
-        state, pid, slot, (b0, b1) = sort_wavefront(
-            state, pid, slot, lo, hi, extras=(b0, b1)
+        rays_b, throughput, radiance, alive = state
+        key = ray_sort_key(
+            rays_b.origin[:, 0], rays_b.origin[:, 1], rays_b.origin[:, 2],
+            rays_b.direction[:, 0], rays_b.direction[:, 1],
+            rays_b.direction[:, 2],
+            alive.astype(jnp.int32), lo, hi,
         )
-        return step((state, pid, slot, b0, b1), bounce_idx)
+        _, perm = jax.lax.sort(
+            (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+
+        def g(a):
+            return jnp.take(a, perm, axis=0)
+
+        state = (
+            Rays(origin=g(rays_b.origin), direction=g(rays_b.direction),
+                 time=g(rays_b.time)),
+            g(throughput), g(radiance), g(alive),
+        )
+        return step((state, g(pid), g(slot), g(b0), g(b1)), bounce_idx)
 
     def body(carry, bounce_idx):
-        # Whole-wavefront early-out, as in the XLA path's bounce_or_skip.
+        # Whole-wavefront early-out, as in trace()'s bounce_or_skip.
         return jax.lax.cond(
-            jnp.max(carry[0][7]) > 0,
+            jnp.any(carry[0][3]),
             lambda c: sort_then_step(c, bounce_idx),
             lambda c: c,
             carry,
@@ -249,14 +258,84 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarr
 
     # Primary rays arrive in pixel order (already coherent): bounce first,
     # sort from the second bounce on.
-    carry = step((state, pid, slot, b0, b1), jnp.uint32(0))
+    carry = step(carry, jnp.uint32(0))
     if cfg.bounces > 1:
         carry, _ = jax.lax.scan(
             body, carry, jnp.arange(1, cfg.bounces, dtype=jnp.uint32)
         )
-    state, _, slot = carry[0], carry[1], carry[2]
-    radiance = unsort_radiance(slot, state[11], state[12], state[13], n)
-    return radiance + _grad_probe(scene)
+    (_, _, radiance, _), slot = carry[0], carry[2]
+    return unsort_radiance(
+        slot, radiance[:, 0], radiance[:, 1], radiance[:, 2], n
+    )
+
+
+def _bounce_body(scene: Scene, cfg: RenderConfig, state, ctx, bounce_idx):
+    """One XLA wavefront bounce: intersect + gather + scatter + bookkeeping.
+
+    `state` = (rays, throughput (N,3), radiance (N,3), alive (N,) bool);
+    `ctx` the per-ray RNG context; `bounce_idx` traced uint32. Returns the
+    advanced state. Shared by trace() (fixed wavefront order) and
+    _trace_sorted (per-bounce coherence-sorted order — every op here is
+    row-independent, so the two agree bit-for-bit after unsorting).
+    """
+    rays_b, throughput, radiance, alive = state
+    n = rays_b.count
+    dtype = rays_b.origin.dtype
+
+    hit = intersect_scene(scene, rays_b, cfg.tmin, INFINITY, alive=alive)
+    mat = scene.materials.gather(hit.material_id)
+    # Static kind set (recorded at pack time) prunes absent BSDF branches.
+    used_kinds = getattr(scene.packed, "used_kinds", None)
+    # One (N, 4) uniform block per bounce covers every scatter draw
+    # (slots 0-2, see ops.materials.scatter) plus Russian roulette
+    # (slot 3) — a single pcg4d sweep instead of one hash per draw.
+    u4 = rng.bounce_uniforms(ctx, bounce_idx)
+    scat = scatter(u4, rays_b, hit, mat, used_kinds)
+
+    if cfg.sky_background:
+        sky = sky_color(rays_b.direction)
+    else:
+        sky = jnp.zeros((n, 3), dtype)
+
+    miss = alive & ~hit.valid
+    terminal = alive & hit.valid & ~scat.scattered
+    radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
+    radiance = radiance + jnp.where(
+        terminal[..., None], throughput * scat.emitted, 0.0
+    )
+    # Path B additive emission: every hit releases mask*emit and the
+    # path continues (CUDAPathTracer.cu:430,449). Zero for Path A
+    # materials, so this is free there.
+    radiance = radiance + jnp.where(
+        (alive & hit.valid)[..., None], throughput * mat.emission, 0.0
+    )
+
+    cont = alive & hit.valid & scat.scattered
+    new_throughput = jnp.where(
+        cont[..., None], throughput * scat.attenuation, throughput
+    )
+
+    if cfg.russian_roulette:
+        p = jnp.clip(jnp.max(new_throughput, axis=-1), 0.05, 1.0)
+        p = jax.lax.stop_gradient(p)
+        u = u4[:, 3]  # reserved RR slot, decorrelated from slots 0-2
+        do_rr = bounce_idx >= cfg.rr_start_bounce
+        survive = ~do_rr | (u < p)
+        new_throughput = jnp.where(
+            (cont & do_rr & survive)[..., None],
+            new_throughput / p[..., None],
+            new_throughput,
+        )
+        cont = cont & survive
+
+    safe_t = jnp.where(hit.valid, hit.t, 0.0)
+    hit_point = rays_b.at(safe_t)
+    new_rays = Rays(
+        origin=jnp.where(cont[..., None], hit_point, rays_b.origin),
+        direction=jnp.where(cont[..., None], scat.direction, rays_b.direction),
+        time=rays_b.time,
+    )
+    return (new_rays, new_throughput, radiance, cont)
 
 
 def trace(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
@@ -282,62 +361,7 @@ def trace(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
     )
 
     def bounce(state, bounce_idx):
-        rays_b, throughput, radiance, alive = state
-
-        hit = intersect_scene(scene, rays_b, cfg.tmin, INFINITY, alive=alive)
-        mat = scene.materials.gather(hit.material_id)
-        # Static kind set (recorded at pack time) prunes absent BSDF branches.
-        used_kinds = getattr(scene.packed, "used_kinds", None)
-        # One (N, 4) uniform block per bounce covers every scatter draw
-        # (slots 0-2, see ops.materials.scatter) plus Russian roulette
-        # (slot 3) — a single pcg4d sweep instead of one hash per draw.
-        u4 = rng.bounce_uniforms(ctx, bounce_idx)
-        scat = scatter(u4, rays_b, hit, mat, used_kinds)
-
-        if cfg.sky_background:
-            sky = sky_color(rays_b.direction)
-        else:
-            sky = jnp.zeros((n, 3), dtype)
-
-        miss = alive & ~hit.valid
-        terminal = alive & hit.valid & ~scat.scattered
-        radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
-        radiance = radiance + jnp.where(
-            terminal[..., None], throughput * scat.emitted, 0.0
-        )
-        # Path B additive emission: every hit releases mask*emit and the
-        # path continues (CUDAPathTracer.cu:430,449). Zero for Path A
-        # materials, so this is free there.
-        radiance = radiance + jnp.where(
-            (alive & hit.valid)[..., None], throughput * mat.emission, 0.0
-        )
-
-        cont = alive & hit.valid & scat.scattered
-        new_throughput = jnp.where(
-            cont[..., None], throughput * scat.attenuation, throughput
-        )
-
-        if cfg.russian_roulette:
-            p = jnp.clip(jnp.max(new_throughput, axis=-1), 0.05, 1.0)
-            p = jax.lax.stop_gradient(p)
-            u = u4[:, 3]  # reserved RR slot, decorrelated from slots 0-2
-            do_rr = bounce_idx >= cfg.rr_start_bounce
-            survive = ~do_rr | (u < p)
-            new_throughput = jnp.where(
-                (cont & do_rr & survive)[..., None],
-                new_throughput / p[..., None],
-                new_throughput,
-            )
-            cont = cont & survive
-
-        safe_t = jnp.where(hit.valid, hit.t, 0.0)
-        hit_point = rays_b.at(safe_t)
-        new_rays = Rays(
-            origin=jnp.where(cont[..., None], hit_point, rays_b.origin),
-            direction=jnp.where(cont[..., None], scat.direction, rays_b.direction),
-            time=rays_b.time,
-        )
-        return (new_rays, new_throughput, radiance, cont), None
+        return _bounce_body(scene, cfg, state, ctx, bounce_idx), None
 
     # Path A runs a fixed 10-bounce loop with per-thread early returns
     # (main.cu:66-93); the wavefront equivalent skips a whole bounce once

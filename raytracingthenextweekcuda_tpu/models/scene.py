@@ -78,8 +78,11 @@ def finalize(scene: Scene, use_bvh: bool | None = None,
         # Native-SAH-structured tiles when librtnw_native.so is built
         # (reference parity: host SAH build BVH.cpp:94-333), median split
         # otherwise; content-hash disk cache either way (BVH.cpp:500-554).
+        import os
+
         tile_bvh = build_or_load_tile_bvh(
-            np.asarray(jax.device_get(tri.vertices))
+            np.asarray(jax.device_get(tri.vertices)),
+            leaf_size=int(os.environ.get("RTNW_LEAF", "128")),
         )
         perm = tile_bvh.perm
         valid = perm >= 0

@@ -36,10 +36,28 @@ def intersect_scene_fused(
     scene, packed: PackedScene, rays: Rays, tmin, backface_cull: bool = True,
     interpret: bool = False, alive=None,
 ) -> Hit:
+    has_tile_bvh = getattr(packed, "leaf_bounds", None) is not None
     t_sel, code = jax.lax.stop_gradient(
         intersect_packed(rays, packed, tmin, backface_cull, interpret,
-                         alive=alive)
+                         alive=alive, include_triangles=not has_tile_bvh)
     )
+    if has_tile_bvh:
+        # Two-level dispatch: the work-list winner kernel covers the mesh
+        # (ops/pallas/bvh_winner_kernel.py), intersect_packed the analytic
+        # primitives; merge by closest t. Triangle codes index the permuted
+        # padded triangle rows, which is exactly scene.triangles' order
+        # after models.scene.finalize — the recompute below needs no remap.
+        from raytracingthenextweekcuda_tpu.ops.pallas.bvh_winner_kernel import (
+            intersect_packed_bvh,
+        )
+
+        t_m, c_m = jax.lax.stop_gradient(
+            intersect_packed_bvh(rays, packed, tmin, backface_cull,
+                                 interpret, alive=alive)
+        )
+        pick_mesh = (c_m >= 0) & ((t_m < t_sel) | (code < 0))
+        t_sel = jnp.where(pick_mesh, t_m, t_sel)
+        code = jnp.where(pick_mesh, c_m, code)
     valid = code >= 0
     ptype = jnp.where(valid, code >> 24, 0)
     idx = jnp.where(valid, code & 0xFFFFFF, 0)

@@ -99,8 +99,14 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         for r in range(1, k):
             out = out + (idx == r).astype(table.dtype)[:, None] * table[r]
         return out
-    onehot = jax.nn.one_hot(idx, k, dtype=table.dtype)
-    return jnp.dot(onehot, table, preferred_element_type=table.dtype)
+    if k <= 512:
+        onehot = jax.nn.one_hot(idx, k, dtype=table.dtype)
+        return jnp.dot(onehot, table, preferred_element_type=table.dtype)
+    # Large tables (tile-BVH meshes: 10k+ triangle rows): a materialized
+    # one-hot would be (N, K) — gigabytes. XLA's native row gather measures
+    # 0.10 ms for 262k rows from a 21.5k x 12 table on a v5e, and its
+    # transpose is the scatter-add the vertex-gradient path needs.
+    return table[idx]
 
 
 def take_scalar(column: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -270,6 +270,7 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
             return jnp.concatenate([arr, rows], axis=0)
 
     bvh_bounds = bvh_meta = None
+    leaf_bounds = leaf_tiles = None
     trih = quadh = None
     hcounts = (0, 0)
     if tile_bvh is not None:
@@ -278,6 +279,13 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
         )
         bvh_bounds = jnp.asarray(tile_bvh.bounds, jnp.float32)
         meta3 = np.asarray(tile_bvh.meta)
+        # Leaf-only views for the work-list winner kernel
+        # (ops/pallas/bvh_winner_kernel.py).
+        leaves_mask = meta3[0] == 1
+        leaf_bounds = jnp.asarray(
+            np.asarray(tile_bvh.bounds)[:, leaves_mask], jnp.float32
+        )
+        leaf_tiles = jnp.asarray(meta3[1][leaves_mask][None, :], jnp.int32)
         # Rows 3-4: leaf-tile range [tile_lo, tile_hi) covered by each
         # subtree. DFS preorder emits leaf tiles in increasing tile_start
         # order, so subtree [i, skip) covers a CONTIGUOUS tile range —
@@ -340,6 +348,8 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
         quadh=quadh,
         hcounts=hcounts,
         has_emission=base.has_emission,
+        leaf_bounds=leaf_bounds,
+        leaf_tiles=leaf_tiles,
     )
 
 
@@ -777,10 +787,14 @@ def _bounce_core(
                                 node + 1, skip)
                 return (nxt, *attr)
 
-            out = jax.lax.while_loop(
-                r_cond, r_body, (jnp.int32(0), *carry[1:])
-            )
-            carry = (bvh_t, *out[1:])
+            import os as _os
+            if _os.environ.get("RTNW_SKIP_RESOLVE"):  # timing probe only
+                carry = (bvh_t, *carry[1:])
+            else:
+                out = jax.lax.while_loop(
+                    r_cond, r_body, (jnp.int32(0), *carry[1:])
+                )
+                carry = (bvh_t, *out[1:])
 
         (best_t, w_kind, w_nx, w_ny, w_nz,
          w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
@@ -1550,6 +1564,11 @@ def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
 
     pid = pad(ctx.pixel_id).astype(jnp.int32)
     alive = pad(jnp.ones((n,), jnp.int32))
+    assert ctx.base0.ndim == 0 and ctx.base1.ndim == 0, (
+        "path_trace needs scalar RayCtx key words (one sample per "
+        "wavefront); multi-sample (N,) contexts go through the sorted "
+        "XLA path (models.integrator._trace_sorted)"
+    )
     bases = jnp.stack(
         [ctx.base0.astype(jnp.int32), ctx.base1.astype(jnp.int32)]
     )

@@ -1,0 +1,364 @@
+"""Tile-BVH winner kernel driven by an XLA-precomputed leaf work list.
+
+The TPU-native answer to the reference's per-thread stack traversal
+(CUDAPathTracer.cu:192-352). Round 2's in-kernel block-consensus tree walk
+(ops/pallas/bounce_kernel.py, n_bvh_nodes path) spends most of its time in
+scalar control flow: a while_loop over ~2L tree nodes per 1024-ray block,
+per-row lax.conds at every leaf, then a SECOND whole-tree sweep to resolve
+winner attributes. Profiled on a v5e at 256x256 over a 16k-tri mesh, that
+kernel runs ~90-120 ms/bounce while its leaf math alone is tens of Gflop —
+overhead-bound, not compute-bound.
+
+This module inverts the control flow, the standard XLA move: decide the
+data-dependent part OUTSIDE the kernel, feed the kernel a dense work list.
+
+  1. `build_worklist` (pure XLA, vectorized): slab-test every ray against
+     every LEAF AABB, reduce to a per-1024-ray-block (hit-any, nearest-tn)
+     per leaf, and argsort leaves per block by entry distance. Output: a
+     compact front-to-back leaf list + count per block. Costs ~1-2 ms for
+     262k rays x 168 leaves — noise.
+  2. `_winner_kernel` (Pallas): per block, fori_loop over ITS OWN leaf
+     list (lengths from SMEM). Each listed leaf is slab-RE-checked against
+     the block's live best_t (front-to-back order makes this an occlusion
+     prune, the analogue of the reference's `if (bestTriDist < distlimit)`
+     pruning) and, if any ray can still improve, one vectorized
+     (ROWS, 128, 128) Havel tile evaluation updates (best_t, winner code).
+     No tree walk, no per-row conds, no attribute resolution: the kernel
+     returns (t, code) only, code = global padded-triangle column.
+  3. Attributes/normals are gathered OUTSIDE by ops/fused.py's
+     differentiable recompute — which makes this path the one that serves
+     BOTH production forward rendering and inverse rendering on meshes
+     (stop-gradient the selection, differentiate the recompute; the same
+     fixed-topology rule as ops/traverse.py, at kernel speed).
+
+Reference parity: leaf test is the precomputed plane + edge-plane (Havel)
+form the reference bakes per triangle (Loader.cpp:189-201, consumed
+CUDAPathTracer.cu:294-326); front-to-back pruning mirrors its
+closest-hit-so-far distance test (CUDAPathTracer.cu:332-345).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingthenextweekcuda_tpu.config import EPSILON, FLT_EPSILON
+from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
+    BIG,
+    RAY_BLOCK,
+    TYPE_TRIANGLE,
+)
+
+_LANE_MAX = 2**30
+
+# Work-list builder processes rays in chunks of this many blocks to bound
+# the (rays, leaves) slab temporaries (128 blocks x 1024 rays x 512 leaves
+# x 4 B = 268 MB per temp at the cap).
+_WL_CHUNK_BLOCKS = 128
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin):
+    """Per-block front-to-back leaf work lists (pure XLA).
+
+    ox..dz, alive: (N,) planar rays, N a RAY_BLOCK multiple (pre-padded).
+    leaf_bounds: (6, L) f32 leaf AABBs.
+    Returns (counts (B, 1) i32, order (B, L) i32): for block b, the leaf
+    ids order[b, :counts[b]] sorted by nearest slab entry distance over
+    the block's live rays; ids past counts[b] are don't-care.
+    """
+    n = ox.shape[0]
+    n_blocks = n // RAY_BLOCK
+    L = leaf_bounds.shape[1]
+    lo = leaf_bounds[0:3]  # (3, L)
+    hi = leaf_bounds[3:6]
+
+    eps = 1e-20
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(
+            jnp.abs(d) < eps, jnp.where(d >= 0.0, eps, -eps), d
+        )
+
+    def chunk_fn(args):
+        o3, d3, av = args  # (C, 3), (C, 3), (C,)
+        tn = jnp.full((o3.shape[0], L), -jnp.inf, jnp.float32)
+        tf = jnp.full((o3.shape[0], L), jnp.inf, jnp.float32)
+        for a in range(3):
+            inv = safe_inv(d3[:, a])[:, None]          # (C, 1)
+            t0 = (lo[a][None, :] - o3[:, a][:, None]) * inv
+            t1 = (hi[a][None, :] - o3[:, a][:, None]) * inv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tf >= tn) & (tf >= tmin) & av[:, None]
+        tnm = jnp.where(hit, tn, jnp.inf)
+        c_blocks = o3.shape[0] // RAY_BLOCK
+        hitb = hit.reshape(c_blocks, RAY_BLOCK, L).any(axis=1)
+        tnb = tnm.reshape(c_blocks, RAY_BLOCK, L).min(axis=1)
+        return hitb, tnb
+
+    o3 = jnp.stack([ox, oy, oz], axis=-1)
+    d3 = jnp.stack([dx, dy, dz], axis=-1)
+    av = alive != 0
+    if n_blocks <= _WL_CHUNK_BLOCKS:
+        hitb, tnb = chunk_fn((o3, d3, av))
+    else:
+        # Pad the block count to a chunk multiple, map over chunks.
+        n_chunks = -(-n_blocks // _WL_CHUNK_BLOCKS)
+        pad_blocks = n_chunks * _WL_CHUNK_BLOCKS - n_blocks
+        pad_n = pad_blocks * RAY_BLOCK
+
+        def padc(a, shape_tail):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad_n, *shape_tail), a.dtype)]
+            ) if pad_n else a
+
+        o3p = padc(o3, (3,)).reshape(n_chunks, -1, 3)
+        d3p = padc(d3, (3,)).reshape(n_chunks, -1, 3)
+        avp = padc(av, ()).reshape(n_chunks, -1)
+        hitb, tnb = jax.lax.map(chunk_fn, (o3p, d3p, avp))
+        hitb = hitb.reshape(-1, L)[:n_blocks]
+        tnb = tnb.reshape(-1, L)[:n_blocks]
+
+    key = jnp.where(hitb, tnb, jnp.inf)
+    # 3-D shapes: Mosaic requires a BlockSpec's last two dims to equal the
+    # array dims (or be 8/128-divisible); per-block SMEM rows therefore
+    # block over the leading axis only.
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)[:, None, :]  # (B,1,L)
+    counts = hitb.sum(axis=1).astype(jnp.int32)[:, None, None]      # (B,1,1)
+    return counts, order
+
+
+def _winner_kernel(
+    cnt_ref, wl_ref, lb_ref, lt_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref,
+    trih_ref,
+    t_ref, code_ref,
+    *, tmin: float, backface_cull: bool, tile: int, prune: bool,
+):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    alive = alive_ref[0] != 0
+    shape = ox.shape  # (ROWS, 128)
+    count = cnt_ref[0, 0, 0]
+
+    t_ref[0] = jnp.full(shape, BIG, jnp.float32)
+    code_ref[0] = jnp.full(shape, -1, jnp.int32)
+
+    @pl.when(jnp.any(alive) & (count > 0))
+    def _():
+        eps = 1e-20
+        sdx = jnp.where(jnp.abs(dx) < eps,
+                        jnp.where(dx >= 0.0, eps, -eps), dx)
+        sdy = jnp.where(jnp.abs(dy) < eps,
+                        jnp.where(dy >= 0.0, eps, -eps), dy)
+        sdz = jnp.where(jnp.abs(dz) < eps,
+                        jnp.where(dz >= 0.0, eps, -eps), dz)
+        inv_dx, inv_dy, inv_dz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (shape[0], shape[1], tile), 2
+        )
+        o1 = lambda v: v[..., None]
+        oxe, oye, oze = o1(ox), o1(oy), o1(oz)
+        dxe, dye, dze = o1(dx), o1(dy), o1(dz)
+
+        def hav(row, ts):
+            return trih_ref[row, pl.ds(pl.multiple_of(ts, 128), tile)][
+                None, None, :
+            ]
+
+        def body(i, carry):
+            best_t, code = carry
+            l = wl_ref[0, 0, i]
+            if prune:
+                # Slab re-check against the LIVE best_t: front-to-back
+                # order turns this into occlusion pruning — leaves fully
+                # behind every ray's current hit are skipped with one
+                # cheap (ROWS, 128) test.
+                t0 = (lb_ref[0, l] - ox) * inv_dx
+                t1 = (lb_ref[3, l] - ox) * inv_dx
+                tn = jnp.minimum(t0, t1)
+                tf = jnp.maximum(t0, t1)
+                t0 = (lb_ref[1, l] - oy) * inv_dy
+                t1 = (lb_ref[4, l] - oy) * inv_dy
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                t0 = (lb_ref[2, l] - oz) * inv_dz
+                t1 = (lb_ref[5, l] - oz) * inv_dz
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                node_hit = (tf >= tn) & (tf >= tmin) & (tn < best_t) & alive
+            else:
+                node_hit = alive
+
+            def eval_tile(carry):
+                best_t, code = carry
+                ts = lt_ref[0, l]
+                nx, ny, nz = hav(0, ts), hav(1, ts), hav(2, ts)
+                dc = hav(3, ts)
+                dn = dxe * nx + dye * ny + dze * nz
+                if backface_cull:
+                    ok = dn < -FLT_EPSILON
+                else:
+                    ok = jnp.abs(dn) > FLT_EPSILON
+                inv = 1.0 / jnp.where(ok, dn, 1.0)
+                t = (dc - (oxe * nx + oye * ny + oze * nz)) * inv
+                hx = oxe + t * dxe
+                hy = oye + t * dye
+                hz = oze + t * dze
+                u = (hav(4, ts) * hx + hav(5, ts) * hy + hav(6, ts) * hz
+                     + hav(7, ts))
+                v = (hav(8, ts) * hx + hav(9, ts) * hy + hav(10, ts) * hz
+                     + hav(11, ts))
+                hit = (
+                    ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > tmin) & (t < o1(best_t))
+                    & (o1(node_hit.astype(jnp.int32)) != 0)
+                )
+                t_masked = jnp.where(hit, t, BIG)
+                tile_best = jnp.min(t_masked, axis=-1)       # (ROWS, 128)
+                improved = tile_best < best_t
+                is_best = hit & (t_masked <= o1(tile_best))
+                win_lane = jnp.min(
+                    jnp.where(is_best, lane, _LANE_MAX), axis=-1
+                )
+                return (
+                    jnp.where(improved, tile_best, best_t),
+                    jnp.where(improved, ts + win_lane, code),
+                )
+
+            if not prune:
+                return eval_tile(carry)
+            return jax.lax.cond(
+                jnp.any(node_hit), eval_tile, lambda c: c, carry
+            )
+
+        best_t, code = jax.lax.fori_loop(
+            0, count, body,
+            (jnp.full(shape, BIG, jnp.float32),
+             jnp.full(shape, -1, jnp.int32)),
+        )
+        t_ref[0] = jnp.where(code >= 0, best_t, BIG)
+        code_ref[0] = code
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tmin", "backface_cull", "tile", "prune", "interpret"),
+)
+def _run_winner(ray_comps, counts, order, leaf_bounds, leaf_tiles, trih,
+                tmin, backface_cull, tile, prune, interpret):
+    ox, oy, oz, dx, dy, dz, alive = ray_comps
+    n = ox.shape[0]
+    n_blocks = n // RAY_BLOCK
+    rows = RAY_BLOCK // 128
+    L = leaf_bounds.shape[1]
+
+    def rs(a):
+        return a.reshape(n_blocks, rows, 128)
+
+    kern = functools.partial(
+        _winner_kernel, tmin=tmin, backface_cull=backface_cull,
+        tile=tile, prune=prune,
+    )
+    ray_spec = pl.BlockSpec(
+        (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+    wl_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.SMEM)
+    out_t, out_code = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=(
+            [cnt_spec, wl_spec, smem_all, smem_all]
+            + [ray_spec] * 7
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        ),
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        counts, order, leaf_bounds, leaf_tiles,
+        rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(alive),
+        trih,
+    )
+    return out_t.reshape(n), out_code.reshape(n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _winner_nodiff(args, tmin, backface_cull, tile, prune, interpret):
+    """Selection-only winner (zero VJP — recompute shading outside)."""
+    ray_comps, counts, order, leaf_bounds, leaf_tiles, trih = args
+    return _run_winner(ray_comps, counts, order, leaf_bounds, leaf_tiles,
+                       trih, tmin, backface_cull, tile, prune, interpret)
+
+
+def _winner_fwd(args, tmin, backface_cull, tile, prune, interpret):
+    return _winner_nodiff(args, tmin, backface_cull, tile, prune,
+                          interpret), args
+
+
+def _winner_bwd(tmin, backface_cull, tile, prune, interpret, residuals, _ct):
+    return (jax.tree_util.tree_map(jnp.zeros_like, residuals),)
+
+
+_winner_nodiff.defvjp(_winner_fwd, _winner_bwd)
+
+
+def intersect_packed_bvh(rays, packed, tmin=EPSILON,
+                         backface_cull: bool = True,
+                         interpret: bool = False, alive=None):
+    """Closest triangle hit through the tile-BVH work-list winner kernel.
+
+    Returns (t, code): code < 0 on miss, else TYPE_TRIANGLE << 24 | column
+    of the winning triangle in the packed (permuted, padded) order — the
+    row index into scene.triangles for the differentiable recompute.
+    """
+    assert packed.leaf_bounds is not None, "scene packed without a tile-BVH"
+    n = rays.origin.shape[0]
+    n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
+
+    def pad(a):
+        return jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
+
+    if alive is None:
+        alive_i = jnp.ones((n,), jnp.int32)
+    else:
+        alive_i = alive.astype(jnp.int32)
+    sg = jax.lax.stop_gradient
+    comps = tuple(
+        sg(pad(c)) for c in (
+            rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
+            rays.direction[:, 0], rays.direction[:, 1], rays.direction[:, 2],
+        )
+    ) + (pad(alive_i),)
+    counts, order = build_worklist(
+        *comps[:6], comps[6], sg(packed.leaf_bounds), tmin=float(tmin)
+    )
+    # Geometry rows only (the 8 material rows are resolved outside).
+    trih_geom = sg(packed.trih[:12])
+    import os
+
+    L = packed.leaf_bounds.shape[1]
+    tile = packed.trih.shape[1] // L  # uniform lane-tile width per leaf
+    prune = not os.environ.get("RTNW_NO_PRUNE")
+    t, code = _winner_nodiff(
+        (comps, counts, order, sg(packed.leaf_bounds),
+         sg(packed.leaf_tiles), trih_geom),
+        float(tmin), bool(backface_cull), int(tile), prune, bool(interpret),
+    )
+    code = jnp.where(code >= 0, (TYPE_TRIANGLE << 24) | code, -1)
+    return t[:n], code[:n]
+
+
+__all__ = ["build_worklist", "intersect_packed_bvh"]

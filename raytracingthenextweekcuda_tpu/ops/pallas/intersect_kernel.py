@@ -67,7 +67,7 @@ class PackedScene:
     def __init__(self, spheres, planes, triangles, counts, used_kinds=None,
                  shaded=False, bvh_bounds=None, bvh_meta=None,
                  trih=None, quadh=None, hcounts=(0, 0),
-                 has_emission=True):
+                 has_emission=True, leaf_bounds=None, leaf_tiles=None):
         self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
         self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
         self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
@@ -98,11 +98,17 @@ class PackedScene:
         # (CUDAPathTracer.cu:430). When False the megastep skips the three
         # emission winner-rows and their radiance FMAs entirely.
         self.has_emission = has_emission
+        # Leaf-only tile-BVH views for the work-list winner kernel
+        # (ops/pallas/bvh_winner_kernel.py): (6, L) f32 leaf AABBs and
+        # (1, L) i32 leaf tile starts (triangle column offsets into trih).
+        self.leaf_bounds = leaf_bounds
+        self.leaf_tiles = leaf_tiles
 
     def tree_flatten(self):
         return (
             (self.spheres, self.planes, self.triangles,
-             self.bvh_bounds, self.bvh_meta, self.trih, self.quadh),
+             self.bvh_bounds, self.bvh_meta, self.trih, self.quadh,
+             self.leaf_bounds, self.leaf_tiles),
             (self.counts, self.used_kinds, self.shaded, self.hcounts,
              self.has_emission),
         )
@@ -111,9 +117,10 @@ class PackedScene:
     def tree_unflatten(cls, aux, children):
         counts, used_kinds, shaded, hcounts, has_emission = aux
         (spheres, planes, triangles, bvh_bounds, bvh_meta,
-         trih, quadh) = children
+         trih, quadh, leaf_bounds, leaf_tiles) = children
         return cls(spheres, planes, triangles, counts, used_kinds, shaded,
-                   bvh_bounds, bvh_meta, trih, quadh, hcounts, has_emission)
+                   bvh_bounds, bvh_meta, trih, quadh, hcounts, has_emission,
+                   leaf_bounds, leaf_tiles)
 
 
 def _pad128(n: int) -> int:
@@ -616,7 +623,7 @@ def _run_kernel(ray_comps, packed_arrays, counts, tmin, backface_cull, interpret
 
 def intersect_packed(rays, packed: PackedScene, tmin=EPSILON,
                      backface_cull: bool = True, interpret: bool = False,
-                     alive=None):
+                     alive=None, include_triangles: bool = True):
     """Closest-hit over the packed scene. Returns (t, code) per ray;
     code < 0 on miss, else type << 24 | prim index. Selection only — wrap
     in stop_gradient and recompute shading differentiably outside.
@@ -624,6 +631,10 @@ def intersect_packed(rays, packed: PackedScene, tmin=EPSILON,
     `alive` (bool (N,), optional) enables block-granular dead-ray skipping:
     a 1024-ray block whose rays are all terminated skips every primitive
     loop. Pads the ray count up to a RAY_BLOCK multiple internally.
+
+    `include_triangles=False` covers only spheres+planes — used when the
+    tile-BVH winner kernel (ops/pallas/bvh_winner_kernel.py) handles the
+    mesh and this kernel the analytic primitives (two-level dispatch).
     """
     n = rays.origin.shape[0]
     n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
@@ -640,9 +651,14 @@ def intersect_packed(rays, packed: PackedScene, tmin=EPSILON,
         pad(rays.direction[:, 0] + 0.0), pad(rays.direction[:, 1]),
         pad(rays.direction[:, 2]), pad(rays.time), pad(alive_i),
     )
+    tri = packed.triangles
+    counts = packed.counts
+    if not include_triangles:
+        tri = tri[:, :1]
+        counts = (counts[0], counts[1], 0)
     t, code = _run_kernel_nodiff(
         comps,
-        (packed.spheres, packed.planes, packed.triangles),
-        packed.counts, float(tmin), bool(backface_cull), bool(interpret),
+        (packed.spheres, packed.planes, tri),
+        counts, float(tmin), bool(backface_cull), bool(interpret),
     )
     return t[:n], code[:n]

@@ -44,9 +44,13 @@ class RayCtx(NamedTuple):
     pixel_id: (N,) uint32 — global pixel index of each ray (stable under
         sharding: a tile render passes its global ids, so randomness never
         depends on device placement).
-    base0/base1: () uint32 — the two words of the per-sample jax.random key
-        (seed, pass and sample index all folded in by the caller's
-        split/fold_in tree, exactly as before).
+    base0/base1: () or (N,) uint32 — the two words of the per-sample
+        jax.random key (seed, pass and sample index all folded in by the
+        caller's split/fold_in tree). Scalar for a single-sample wavefront;
+        (N,) when several samples share one multi-sample wavefront (each
+        ray then carries its own sample's key words, and the words ride
+        any coherence sort with the ray). Consumers must broadcast against
+        pixel_id rather than assume scalars.
     """
 
     pixel_id: jnp.ndarray

@@ -34,6 +34,24 @@ def _pass_local(scene, camera, key, cfg: RenderConfig, samples: int):
     frame = camera_mod.derive(camera, cfg.aspect_ratio)
     sample_keys = jax.random.split(key, samples)
 
+    if integrator._fused_eligible(scene, cfg) and not integrator._sorted_eligible(scene, cfg):
+        # Production fast path under shard_map: the whole-render megastep
+        # (raygen + all spp + all bounces in ONE Pallas kernel) over this
+        # chip's pixel ids — identical engine to the single-chip bench, so
+        # sharded throughput tracks the headline number instead of paying a
+        # per-sample dispatch tax. The counter RNG keys by GLOBAL pixel id,
+        # so the image is bit-identical to the single-device render.
+        from raytracingthenextweekcuda_tpu.ops.pallas.bounce_kernel import (
+            render_samples,
+        )
+
+        accum = render_samples(
+            scene, scene.packed, frame, sample_keys, cfg,
+            pixel_ids=pixel_ids,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return accum + integrator._grad_probe(scene)
+
     def one_sample(accum, skey):
         rays, ray_keys = camera_mod.generate_rays(
             frame, skey, cfg.width, cfg.height, pixel_ids=pixel_ids

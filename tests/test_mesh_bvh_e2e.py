@@ -62,3 +62,50 @@ def test_bunny_bvh_render():
     scene, camera = build_mesh_scene(tris)
     img = _render(scene, camera, use_bvh=True)
     assert img.mean() > 0.02
+
+
+def test_mesh_vertex_gradient_through_tile_bvh():
+    """d(hit t)/d(vertices) through the tile-BVH winner path vs FD.
+
+    The work-list winner kernel is selection-only (stop-gradient); the
+    differentiable recompute (ops/fused.py) gathers the winning triangle's
+    LIVE vertices, so shifting the mesh moves hit distances with exact
+    first-order gradients at fixed topology — the capability that makes
+    inverse rendering on meshes run at production-kernel speed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raytracingthenextweekcuda_tpu.models import camera as camera_mod
+    from raytracingthenextweekcuda_tpu.ops.fused import intersect_scene_fused
+
+    tris = uv_sphere_mesh(0.9, (0, 0, 0), 16, 32)
+    scene, camera = build_mesh_scene(tris)
+    scene = finalize(scene, use_bvh=True)
+    assert scene.packed.leaf_bounds is not None
+
+    frame = camera_mod.derive(camera, 1.0)
+    rays, _ = camera_mod.generate_rays(frame, jax.random.key(2), 24, 24)
+    base_hit = intersect_scene_fused(
+        scene, scene.packed, rays, 1e-3, interpret=True
+    )
+    mesh_mask = base_hit.valid & (base_hit.material_id == 1)
+    assert bool(mesh_mask.sum() > 20)
+
+    def loss(dz):
+        verts = scene.triangles.vertices.at[:, :, 2].add(dz)
+        s = scene._replace(
+            triangles=scene.triangles._replace(vertices=verts)
+        )
+        # packed stays FIXED (fixed-topology winner selection); only the
+        # recompute sees the shifted vertices.
+        hit = intersect_scene_fused(s, scene.packed, rays, 1e-3,
+                                    interpret=True)
+        return jnp.sum(jnp.where(mesh_mask, hit.t, 0.0))
+
+    g = jax.grad(loss)(jnp.float32(0.0))
+    eps = 1e-3
+    fd = (loss(jnp.float32(eps)) - loss(jnp.float32(-eps))) / (2 * eps)
+    assert np.isfinite(np.asarray(g))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd),
+                               rtol=2e-2, atol=1e-2)

@@ -102,3 +102,33 @@ def test_graft_entry_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_fused_megastep_bit_identical():
+    """A FINALIZED scene under shard_map runs the whole-render megastep
+    (parallel.render._pass_local fast path) — Pallas-under-shard_map —
+    and still matches the single-device render bit-for-bit."""
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
+
+    scene, camera = presets.cornell_box()
+    scene = finalize(scene)
+    assert integrator._fused_eligible(scene, CFG)
+    key = jax.random.key(11)
+    single = integrator.render_pass(scene, camera, key, CFG, 4)
+    sharded = render_pass_sharded(scene, camera, key, CFG, 4, make_mesh(8))
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_measure_scaling_virtual_mesh():
+    """measure_scaling runs end-to-end on the virtual mesh and reports a
+    positive rate per device count (no efficiency assertion on CPU — the
+    virtual devices share one host's cores)."""
+    from raytracingthenextweekcuda_tpu.parallel.multihost import (
+        measure_scaling,
+    )
+
+    scene, camera = presets.diffuse_sphere_plane()
+    rates = measure_scaling(scene, camera, CFG, device_counts=[1, 2],
+                            spp=2, verbose=False)
+    assert set(rates) == {1, 2}
+    assert all(r > 0 for r in rates.values())

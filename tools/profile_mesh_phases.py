@@ -35,21 +35,22 @@ from raytracingthenextweekcuda_tpu.ops.wavefront_sort import sort_wavefront
 
 
 def sync(*xs):
+    # block_until_ready only: an eager jnp.sum dispatch costs ~50 ms through
+    # the axon relay and would swamp sub-100ms phases.
     for x in xs:
-        jax.block_until_ready(x)
-    np.asarray(jnp.sum(xs[0]))
+        jax.tree_util.tree_map(
+            lambda l: jax.block_until_ready(l) if hasattr(l, "block_until_ready") else l, x
+        )
 
 
 def timeit(fn, reps=5):
     out = fn()
-    sync(*[l for l in jax.tree_util.tree_leaves(out)
-           if hasattr(l, "dtype")][:1])
+    sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn()
-        sync(*[l for l in jax.tree_util.tree_leaves(out)
-               if hasattr(l, "dtype")][:1])
+        sync(out)
         ts.append(time.perf_counter() - t0)
     return min(ts), out
 

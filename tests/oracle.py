@@ -6,8 +6,12 @@ the JAX integrator statistically (converged means, not per-sample equality —
 the RNG-parity strategy of SURVEY.md §4/§7). Deliberately written in a
 different style from the production code so mistakes don't correlate.
 
-Supports: lambertian / metal / dielectric / emission materials, spheres
-(static + moving) and finite oriented planes, thin-lens camera, sky gradient.
+Supports: lambertian / metal / dielectric / emission materials plus the
+Path B kinds (phong-metal / specular / coat / refraction, additive per-hit
+emission — pathTrace semantics, CUDAPathTracer.cu:430,455-614), spheres
+(static + moving), finite oriented planes and brute-force triangles
+(Möller–Trumbore with backface cull, TriangleMesh.cu:57-80), thin-lens
+camera, sky gradient.
 """
 
 from __future__ import annotations
@@ -30,10 +34,24 @@ class OracleScene:
     def __init__(self):
         self.spheres = []   # (c0, c1, t0, t1, radius, mat)
         self.planes = []    # (pos, normal, extend, orientation, two_sided, mat)
+        self.triangles = []  # (v0, v1, v2, mat) — brute, backface-culled
         self.materials = {}
 
-    def material(self, mid, kind, albedo=(0, 0, 0), param=0.0):
-        self.materials[mid] = (kind, np.asarray(albedo, F), F(param))
+    def material(self, mid, kind, albedo=(0, 0, 0), param=0.0,
+                 emission=(0, 0, 0)):
+        self.materials[mid] = (
+            kind, np.asarray(albedo, F), F(param), np.asarray(emission, F)
+        )
+
+    def triangle(self, v0, v1, v2, mid):
+        self.triangles.append(
+            (np.asarray(v0, F), np.asarray(v1, F), np.asarray(v2, F), mid)
+        )
+
+    def mesh(self, vertices, mid):
+        """vertices: (T, 3, 3)."""
+        for tri in np.asarray(vertices, F):
+            self.triangle(tri[0], tri[1], tri[2], mid)
 
     def sphere(self, c, r, mid):
         self.spheres.append((np.asarray(c, F), np.asarray(c, F), 0.0, 1.0, F(r), mid))
@@ -96,6 +114,23 @@ def _hit_scene(scene, origin, direction, time, tmin):
         outward = np.tile(normal, (n, 1))
         consider(t.astype(F), valid, outward, mid)
 
+    for v0, v1, v2, mid in scene.triangles:
+        # Möller–Trumbore with backface cull (TriangleMesh.cu:57-80).
+        e1 = v1 - v0
+        e2 = v2 - v0
+        pvec = np.cross(direction, e2[None, :])
+        det = _dot(pvec, e1[None, :])
+        ok = det > 1.1920929e-07  # backface cull: det <= eps rejected
+        inv = 1.0 / np.where(ok, det, 1.0)
+        tvec = origin - v0
+        u = _dot(tvec, pvec) * inv
+        qvec = np.cross(tvec, e1[None, :])
+        v = _dot(direction, qvec) * inv
+        t = _dot(e2[None, :], qvec) * inv
+        valid = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= tmin)
+        outward = np.tile(_normalize(np.cross(e1, e2)), (n, 1))
+        consider(t.astype(F), valid, outward, mid)
+
     return best_t, best_normal, best_front, best_mat
 
 
@@ -109,11 +144,13 @@ def _scatter(rng, scene, direction, normal, front, mat_id):
     kinds = np.full(n, -1)
     albedo = np.zeros((n, 3), F)
     param = np.zeros(n, F)
-    for mid, (kind, alb, par) in scene.materials.items():
+    emis_add = np.zeros((n, 3), F)
+    for mid, (kind, alb, par, emi) in scene.materials.items():
         sel = mat_id == mid
         kinds[sel] = kind
         albedo[sel] = alb
         param[sel] = par
+        emis_add[sel] = emi
 
     unit = _normalize(direction)
 
@@ -161,7 +198,70 @@ def _scatter(rng, scene, direction, normal, front, mat_id):
     emitted[sel] = (albedo * param[:, None])[sel]
     scattered[sel] = False
 
-    return new_dir, atten, scattered, emitted
+    def lobe(axis, cos_theta):
+        """cos_theta-polar lobe about unit `axis`, independent azimuth."""
+        a = np.where(np.abs(axis[:, 0:1]) > 0.9, [[0.0, 1.0, 0.0]],
+                     [[1.0, 0.0, 0.0]])
+        t = _normalize(np.cross(a, axis))
+        b = np.cross(axis, t)
+        phi = 2 * np.pi * rng.random(n)
+        sin_theta = np.sqrt(np.maximum(0, 1 - cos_theta**2))
+        return (
+            t * (np.cos(phi) * sin_theta)[:, None]
+            + b * (np.sin(phi) * sin_theta)[:, None]
+            + axis * cos_theta[:, None]
+        )
+
+    # Phong metal (Path B METAL, CUDAPathTracer.cu:479-504).
+    sel = kinds == 4
+    if sel.any():
+        cs = np.power(np.maximum(rng.random(n), 1e-12), 1.0 / (param + 1.0))
+        pd = lobe(_normalize(mirror), cs.astype(F))
+        new_dir[sel] = pd[sel]
+        atten[sel] = albedo[sel]
+        scattered[sel] = True
+
+    # Specular (Path B, CUDAPathTracer.cu:507-517).
+    sel = kinds == 5
+    new_dir[sel] = _normalize(mirror)[sel]
+    atten[sel] = albedo[sel]
+    scattered[sel] = True
+
+    # Coat (Path B, CUDAPathTracer.cu:522-563): 5% white specular else
+    # cosine-lobe diffuse.
+    sel = kinds == 6
+    if sel.any():
+        spec = rng.random(n) < 0.05
+        cd = lobe(normal, np.sqrt(np.maximum(0, 1 - rng.random(n))).astype(F))
+        new_dir[sel] = np.where(spec[:, None], mirror, cd)[sel]
+        atten[sel] = np.where(spec[:, None], 1.0, albedo)[sel]
+        scattered[sel] = True
+
+    # Refraction (Path B, CUDAPathTracer.cu:566-614) with the two
+    # documented divergences (R0 precedence, branch prob = P) matching
+    # ops/materials.py:193-212.
+    sel = kinds == 7
+    if sel.any():
+        nt = np.where(param > 0, param, 1.5)
+        nnt = np.where(front, 1.0 / nt, nt)
+        ddn = _dot(unit, normal)
+        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+        tir = cos2t < 0
+        perp = nnt[:, None] * (unit - ddn[:, None] * normal) + (
+            -np.sqrt(np.maximum(0, cos2t))
+        )[:, None] * normal
+        tdir = _normalize(perp)
+        r0 = ((nt - 1.0) / (nt + 1.0)) ** 2
+        c1m = 1.0 - np.where(front, -ddn, _dot(tdir, normal))
+        re = r0 + (1.0 - r0) * c1m**5
+        prob = 0.25 + 0.5 * re
+        choose = tir | (rng.random(n) < prob)
+        w = np.where(tir, 1.0, np.where(choose, re / prob, (1 - re) / (1 - prob)))
+        new_dir[sel] = np.where(choose[:, None], _normalize(mirror), tdir)[sel]
+        atten[sel] = (albedo * w[:, None])[sel]
+        scattered[sel] = True
+
+    return new_dir, atten, scattered, emitted, emis_add
 
 
 def render_oracle(scene, eye, center, up, fov, width, height, spp, bounces,
@@ -218,9 +318,12 @@ def render_oracle(scene, eye, center, up, fov, width, height, spp, bounces,
             )[:, None] * np.asarray([0.5, 0.7, 1.0], F)
             miss = alive & ~hit_valid
             radiance[miss] += throughput[miss] * sky[miss]
-            nd, at, sc, em = _scatter(rng, scene, d, normal, front, mat)
+            nd, at, sc, em, emadd = _scatter(rng, scene, d, normal, front, mat)
             term = alive & hit_valid & ~sc
             radiance[term] += throughput[term] * em[term]
+            # Path B additive emission on every hit (CUDAPathTracer.cu:430).
+            hot = alive & hit_valid
+            radiance[hot] += throughput[hot] * emadd[hot]
             cont = alive & hit_valid & sc
             throughput[cont] *= at[cont]
             o = np.where(cont[:, None], o + np.where(hit_valid, t, 0)[:, None] * d, o)

@@ -61,18 +61,29 @@ _LANE_MAX = 2**30
 _WL_CHUNK_BLOCKS = 128
 
 
-@functools.partial(jax.jit, static_argnames=("tmin",))
-def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin):
+@functools.partial(
+    jax.jit, static_argnames=("tmin", "block", "interpret")
+)
+def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
+                   block=RAY_BLOCK, interpret=False):
     """Per-block front-to-back leaf work lists (pure XLA).
 
-    ox..dz, alive: (N,) planar rays, N a RAY_BLOCK multiple (pre-padded).
+    ox..dz, alive: (N,) planar rays, N a `block` multiple (pre-padded).
     leaf_bounds: (6, L) f32 leaf AABBs.
-    Returns (counts (B, 1) i32, order (B, L) i32): for block b, the leaf
-    ids order[b, :counts[b]] sorted by nearest slab entry distance over
-    the block's live rays; ids past counts[b] are don't-care.
+    Returns (counts (B,1,1) i32, order (B,1,L) i32, entry (B,1,L) f32):
+    for block b, the leaf ids order[b,0,:counts[b]] sorted by nearest slab
+    entry distance over the block's live rays, entry the matching sorted
+    distances (+inf past counts[b]).
+
+    `block` is the consensus granularity in rays (a multiple of 128):
+    smaller blocks over-include fewer leaves per ray (the block's spatial
+    footprint shrinks) at the cost of more work-list rows. (A Pallas
+    formulation of the slab pass with leaves on sublanes was measured
+    SLOWER than this fused XLA pass — the per-op (Lpad,1)x(1,128)
+    broadcast relayouts cost more than XLA's HBM temps.)
     """
     n = ox.shape[0]
-    n_blocks = n // RAY_BLOCK
+    n_blocks = n // block
     L = leaf_bounds.shape[1]
     lo = leaf_bounds[0:3]  # (3, L)
     hi = leaf_bounds[3:6]
@@ -96,21 +107,24 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin):
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         hit = (tf >= tn) & (tf >= tmin) & av[:, None]
         tnm = jnp.where(hit, tn, jnp.inf)
-        c_blocks = o3.shape[0] // RAY_BLOCK
-        hitb = hit.reshape(c_blocks, RAY_BLOCK, L).any(axis=1)
-        tnb = tnm.reshape(c_blocks, RAY_BLOCK, L).min(axis=1)
+        c_blocks = o3.shape[0] // block
+        hitb = hit.reshape(c_blocks, block, L).any(axis=1)
+        tnb = tnm.reshape(c_blocks, block, L).min(axis=1)
         return hitb, tnb
 
     o3 = jnp.stack([ox, oy, oz], axis=-1)
     d3 = jnp.stack([dx, dy, dz], axis=-1)
     av = alive != 0
-    if n_blocks <= _WL_CHUNK_BLOCKS:
+    # Chunk so the (rays, leaves) slab temporaries stay bounded regardless
+    # of the block granularity.
+    chunk_blocks = max(1, (_WL_CHUNK_BLOCKS * RAY_BLOCK) // block)
+    if n_blocks <= chunk_blocks:
         hitb, tnb = chunk_fn((o3, d3, av))
     else:
         # Pad the block count to a chunk multiple, map over chunks.
-        n_chunks = -(-n_blocks // _WL_CHUNK_BLOCKS)
-        pad_blocks = n_chunks * _WL_CHUNK_BLOCKS - n_blocks
-        pad_n = pad_blocks * RAY_BLOCK
+        n_chunks = -(-n_blocks // chunk_blocks)
+        pad_blocks = n_chunks * chunk_blocks - n_blocks
+        pad_n = pad_blocks * block
 
         def padc(a, shape_tail):
             return jnp.concatenate(
@@ -125,12 +139,12 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin):
         tnb = tnb.reshape(-1, L)[:n_blocks]
 
     key = jnp.where(hitb, tnb, jnp.inf)
-    # 3-D shapes: Mosaic requires a BlockSpec's last two dims to equal the
-    # array dims (or be 8/128-divisible); per-block SMEM rows therefore
-    # block over the leading axis only.
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)[:, None, :]  # (B,1,L)
-    counts = hitb.sum(axis=1).astype(jnp.int32)[:, None, None]      # (B,1,1)
-    return counts, order
+    entry, order = jax.lax.sort(
+        (key, jax.lax.broadcasted_iota(jnp.int32, (n_blocks, L), 1)),
+        num_keys=1,
+    )
+    counts = hitb.sum(axis=1).astype(jnp.int32)
+    return (counts[:, None, None], order[:, None, :], entry[:, None, :])
 
 
 def _winner_kernel(
@@ -246,17 +260,174 @@ def _winner_kernel(
         code_ref[0] = code
 
 
+def _winner_kernel_mxu(
+    cnt_ref, wl_ref, lb_ref, lt_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref,
+    wo_ref, wd_ref,
+    t_ref, code_ref,
+    *, tmin: float, backface_cull: bool, tile: int, prune: bool,
+):
+    """MXU leaf evaluation: the Havel test as two K=4 matmuls per visit.
+
+    Per (ray, triangle) pair, t/u/v are affine in (origin, 1) and
+    (direction, 0):  num = dc - o.n,  a1 = c4.o + c7,  a2 = c8.o + c11
+    (one (B,4) @ (4,3*tile) dot against wo), and den = d.n, b1 = c4.d,
+    b2 = c8.d (one dot against wd). Then t = num/den, u = a1 + t*b1,
+    v = a2 + t*b2 — a ~14-op VPU epilogue instead of the ~43-op
+    elementwise Havel chain. The MXU (K padded 4->128, HIGH precision
+    bf16x3 passes) does the heavy lifting the VPU did before.
+    """
+    B = ox_ref.shape[1] * 128
+    count = cnt_ref[0, 0, 0]
+    alive2 = alive_ref[0] != 0
+
+    t_ref[0] = jnp.full(ox_ref.shape[1:], BIG, jnp.float32)
+    code_ref[0] = jnp.full(ox_ref.shape[1:], -1, jnp.int32)
+
+    @pl.when(jnp.any(alive2) & (count > 0))
+    def _():
+        eps = 1e-20
+        one = jnp.ones((B, 1), jnp.float32)
+        o4 = jnp.concatenate(
+            [ox_ref[0].reshape(B, 1), oy_ref[0].reshape(B, 1),
+             oz_ref[0].reshape(B, 1), one], axis=1)              # (B, 4)
+        d4 = jnp.concatenate(
+            [dx_ref[0].reshape(B, 1), dy_ref[0].reshape(B, 1),
+             dz_ref[0].reshape(B, 1), jnp.zeros((B, 1), jnp.float32)],
+            axis=1)                                              # (B, 4)
+        alive_c = alive_ref[0].reshape(B, 1) != 0
+
+        def safe(d):
+            return jnp.where(jnp.abs(d) < eps,
+                             jnp.where(d >= 0.0, eps, -eps), d)
+
+        inv_o = [1.0 / safe(d4[:, a:a + 1]) for a in range(3)]   # (B,1) x3
+        o_c = [o4[:, a:a + 1] for a in range(3)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, tile), 1)
+
+        def body(i, carry):
+            best_t, code = carry                                  # (B,1)
+            l = wl_ref[0, 0, i]
+            if prune:
+                tn = None
+                tf = None
+                for a in range(3):
+                    t0 = (lb_ref[a, l] - o_c[a]) * inv_o[a]
+                    t1 = (lb_ref[3 + a, l] - o_c[a]) * inv_o[a]
+                    tnn = jnp.minimum(t0, t1)
+                    tff = jnp.maximum(t0, t1)
+                    tn = tnn if tn is None else jnp.maximum(tn, tnn)
+                    tf = tff if tf is None else jnp.minimum(tf, tff)
+                node_hit = (
+                    (tf >= tn) & (tf >= tmin) & (tn < best_t) & alive_c
+                )
+            else:
+                node_hit = alive_c
+
+            def eval_tile(carry):
+                best_t, code = carry
+                ts = lt_ref[0, l]
+                col = pl.multiple_of(3 * ts, 3 * tile)
+                wo = wo_ref[:, pl.ds(col, 3 * tile)]              # (4, 3T)
+                wd = wd_ref[:, pl.ds(col, 3 * tile)]
+                hi = jax.lax.Precision.HIGHEST
+                A = jax.lax.dot_general(
+                    o4, wo, (((1,), (0,)), ((), ())), precision=hi,
+                    preferred_element_type=jnp.float32)           # (B, 3T)
+                Bm = jax.lax.dot_general(
+                    d4, wd, (((1,), (0,)), ((), ())), precision=hi,
+                    preferred_element_type=jnp.float32)
+                num = A[:, :tile]
+                a1 = A[:, tile:2 * tile]
+                a2 = A[:, 2 * tile:]
+                den = Bm[:, :tile]
+                b1 = Bm[:, tile:2 * tile]
+                b2 = Bm[:, 2 * tile:]
+                if backface_cull:
+                    ok = den < -FLT_EPSILON
+                else:
+                    ok = jnp.abs(den) > FLT_EPSILON
+                t = num * (1.0 / jnp.where(ok, den, 1.0))
+                u = a1 + t * b1
+                v = a2 + t * b2
+                hit = (
+                    ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > tmin) & (t < best_t) & node_hit
+                )
+                t_masked = jnp.where(hit, t, BIG)
+                tile_best = jnp.min(t_masked, axis=1, keepdims=True)  # (B,1)
+                improved = tile_best < best_t
+                is_best = hit & (t_masked <= tile_best)
+                win_lane = jnp.min(
+                    jnp.where(is_best, lane, _LANE_MAX), axis=1,
+                    keepdims=True)
+                return (
+                    jnp.where(improved, tile_best, best_t),
+                    jnp.where(improved, ts + win_lane, code),
+                )
+
+            if not prune:
+                return eval_tile(carry)
+            return jax.lax.cond(
+                jnp.any(node_hit), eval_tile, lambda c: c, carry
+            )
+
+        best_t, code = jax.lax.fori_loop(
+            0, count, body,
+            (jnp.full((B, 1), BIG, jnp.float32),
+             jnp.full((B, 1), -1, jnp.int32)),
+        )
+        shape = ox_ref.shape[1:]
+        t_ref[0] = jnp.where(code >= 0, best_t, BIG).reshape(shape)
+        code_ref[0] = code.reshape(shape)
+
+
+def _mxu_weights(trih_geom, tile):
+    """Rearrange Havel rows (12, T) into per-leaf matmul operands.
+
+    Returns (wo (4, 3T), wd (4, 3T)): leaf l occupies columns
+    [3*tile*l, 3*tile*(l+1)) as [num | a1 | a2] / [den | b1 | b2] blocks.
+    """
+    T = trih_geom.shape[1]
+    L = T // tile
+
+    def grp(rows3, bias):
+        return jnp.concatenate([rows3, bias[None, :]], axis=0)  # (4, T)
+
+    zero = jnp.zeros((T,), trih_geom.dtype)
+    o_groups = [
+        grp(-trih_geom[0:3], trih_geom[3]),   # num = dc - o.n
+        grp(trih_geom[4:7], trih_geom[7]),    # a1
+        grp(trih_geom[8:11], trih_geom[11]),  # a2
+    ]
+    d_groups = [
+        grp(trih_geom[0:3], zero),            # den = d.n
+        grp(trih_geom[4:7], zero),            # b1
+        grp(trih_geom[8:11], zero),           # b2
+    ]
+
+    def weave(groups):
+        # (3, 4, L, tile) -> (4, L, 3, tile) -> (4, 3T)
+        g = jnp.stack([x.reshape(4, L, tile) for x in groups], axis=2)
+        return g.reshape(4, 3 * T)
+
+    return weave(o_groups), weave(d_groups)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("tmin", "backface_cull", "tile", "prune", "interpret"),
+    static_argnames=("tmin", "backface_cull", "tile", "prune", "interpret",
+                     "block"),
 )
-def _run_winner(ray_comps, counts, order, leaf_bounds, leaf_tiles, trih,
-                tmin, backface_cull, tile, prune, interpret):
+def _run_winner(ray_comps, counts, order, entry, leaf_bounds, leaf_tiles,
+                trih, tmin, backface_cull, tile, prune, interpret,
+                block=RAY_BLOCK):
     ox, oy, oz, dx, dy, dz, alive = ray_comps
     n = ox.shape[0]
-    n_blocks = n // RAY_BLOCK
-    rows = RAY_BLOCK // 128
+    n_blocks = n // block
+    rows = block // 128
     L = leaf_bounds.shape[1]
+    del entry  # folded into `counts` by build_worklist's trip cap
 
     def rs(a):
         return a.reshape(n_blocks, rows, 128)
@@ -295,20 +466,22 @@ def _run_winner(ray_comps, counts, order, leaf_bounds, leaf_tiles, trih,
     return out_t.reshape(n), out_code.reshape(n)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def _winner_nodiff(args, tmin, backface_cull, tile, prune, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _winner_nodiff(args, tmin, backface_cull, tile, prune, interpret, block):
     """Selection-only winner (zero VJP — recompute shading outside)."""
-    ray_comps, counts, order, leaf_bounds, leaf_tiles, trih = args
-    return _run_winner(ray_comps, counts, order, leaf_bounds, leaf_tiles,
-                       trih, tmin, backface_cull, tile, prune, interpret)
+    (ray_comps, counts, order, entry, leaf_bounds, leaf_tiles, trih) = args
+    return _run_winner(ray_comps, counts, order, entry, leaf_bounds,
+                       leaf_tiles, trih, tmin, backface_cull, tile, prune,
+                       interpret, block)
 
 
-def _winner_fwd(args, tmin, backface_cull, tile, prune, interpret):
+def _winner_fwd(args, tmin, backface_cull, tile, prune, interpret, block):
     return _winner_nodiff(args, tmin, backface_cull, tile, prune,
-                          interpret), args
+                          interpret, block), args
 
 
-def _winner_bwd(tmin, backface_cull, tile, prune, interpret, residuals, _ct):
+def _winner_bwd(tmin, backface_cull, tile, prune, interpret, block,
+                residuals, _ct):
     return (jax.tree_util.tree_map(jnp.zeros_like, residuals),)
 
 
@@ -325,8 +498,18 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
     row index into scene.triangles for the differentiable recompute.
     """
     assert packed.leaf_bounds is not None, "scene packed without a tile-BVH"
+    import os
+
+    # Consensus block size: 256-ray blocks measure ~2x fewer leaf visits
+    # per ray than 1024-ray blocks on the materialball scene (mean listed
+    # leaves 27 vs 50 on primaries, 218 vs 483 ms on a shuffled wavefront)
+    # and won the full-render sweep: 455k vs 332k paths/s on the
+    # cornellbox2+materialball bench. NOTE for sweeps: the value is baked
+    # at trace time — run each setting in a fresh process.
+    block = int(os.environ.get("RTNW_WINNER_BLOCK", "256"))
+    assert block % 128 == 0
     n = rays.origin.shape[0]
-    n_pad = ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
+    n_pad = ((n + block - 1) // block) * block
 
     def pad(a):
         return jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
@@ -342,20 +525,21 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
             rays.direction[:, 0], rays.direction[:, 1], rays.direction[:, 2],
         )
     ) + (pad(alive_i),)
-    counts, order = build_worklist(
-        *comps[:6], comps[6], sg(packed.leaf_bounds), tmin=float(tmin)
+    counts, order, entry = build_worklist(
+        *comps[:6], comps[6], sg(packed.leaf_bounds), tmin=float(tmin),
+        block=block, interpret=bool(interpret),
     )
     # Geometry rows only (the 8 material rows are resolved outside).
     trih_geom = sg(packed.trih[:12])
-    import os
 
     L = packed.leaf_bounds.shape[1]
     tile = packed.trih.shape[1] // L  # uniform lane-tile width per leaf
     prune = not os.environ.get("RTNW_NO_PRUNE")
     t, code = _winner_nodiff(
-        (comps, counts, order, sg(packed.leaf_bounds),
+        (comps, counts, order, entry, sg(packed.leaf_bounds),
          sg(packed.leaf_tiles), trih_geom),
         float(tmin), bool(backface_cull), int(tile), prune, bool(interpret),
+        block,
     )
     code = jnp.where(code >= 0, (TYPE_TRIANGLE << 24) | code, -1)
     return t[:n], code[:n]

@@ -75,6 +75,7 @@ def run_bench(
         "unit": "paths/s",
         "vs_baseline": round(paths_per_sec / REFERENCE_PATHS_PER_SEC, 3),
         "render_ms": round(dt * 1000, 2),
+        "vpu_util": _vpu_utilization(scene, paths, bounces, dt),
         "config": {
             "width": width, "height": height, "spp": spp, "bounces": bounces,
             "device": str(jax.devices()[0]),
@@ -85,6 +86,31 @@ def run_bench(
     except Exception as e:  # secondary metric must never sink the headline
         result["mesh_bvh"] = {"error": str(e)[:200]}
     return result
+
+
+def _vpu_utilization(scene, paths: int, bounces: int, dt: float):
+    """Estimated VPU utilization (a path tracer's MFU analogue).
+
+    A ray tracer has no matmuls, so the meaningful roofline is the VPU's
+    f32 vector throughput, taken here as 3.9 Top/s for a v5e core
+    (1024 lanes x ~0.94 GHz x 4 ALUs; FMA-heavy code can double that, so
+    this is the conservative basis). Useful ops are modeled from the
+    megastep's per-bounce workload: every live ray tests every packed
+    primitive column (~35 ops/sphere, ~30/plane, ~43/Havel tri or quad)
+    plus ~90 ops of BSDF/bookkeeping; raygen ~40. Dead-ray elision is
+    ignored, so this slightly OVERcounts work — read it as an upper bound
+    on useful-op throughput, not a hardware counter.
+    """
+    p = scene.packed
+    if p is None:
+        return None
+    s_count, p_count, _ = p.counts
+    trih, quads = getattr(p, "hcounts", (0, 0))
+    per_bounce = (
+        35 * s_count + 30 * p_count + 43 * (trih + quads) + 90
+    )
+    flops = paths * (40 + bounces * per_bounce)
+    return round(flops / dt / 3.9e12, 4)
 
 
 _REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"

@@ -51,9 +51,36 @@ def intersect_scene_fused(
             intersect_packed_bvh,
         )
 
+        # Mesh-needed masking: a ray whose slab test misses the mesh ROOT
+        # box, or whose closest ANALYTIC hit lies in front of the root
+        # entry, cannot produce a mesh winner — mark it dead for the
+        # winner kernel so its block's work list shrinks (and fully
+        # mesh-dead blocks skip entirely). The analogue of the
+        # reference's mesh-level AABB early-out (TriangleMesh.cu:35-37),
+        # lifted to the wavefront.
+        sg = jax.lax.stop_gradient
+        o = sg(rays.origin)
+        d = sg(rays.direction)
+        lbs = sg(packed.leaf_bounds)
+        root_lo = jnp.min(lbs[0:3], axis=1)
+        root_hi = jnp.max(lbs[3:6], axis=1)
+        eps = 1e-20
+        d_safe = jnp.where(jnp.abs(d) < eps,
+                           jnp.where(d >= 0.0, eps, -eps), d)
+        inv = 1.0 / d_safe
+        t0 = (root_lo[None, :] - o) * inv
+        t1 = (root_hi[None, :] - o) * inv
+        rtn = jnp.max(jnp.minimum(t0, t1), axis=1)
+        rtf = jnp.min(jnp.maximum(t0, t1), axis=1)
+        root_hit = (rtf >= rtn) & (rtf >= tmin)
+        unoccluded = (code < 0) | (rtn <= t_sel)
+        alive_mesh = root_hit & unoccluded
+        if alive is not None:
+            alive_mesh = alive_mesh & alive
+
         t_m, c_m = jax.lax.stop_gradient(
             intersect_packed_bvh(rays, packed, tmin, backface_cull,
-                                 interpret, alive=alive)
+                                 interpret, alive=alive_mesh)
         )
         pick_mesh = (c_m >= 0) & ((t_m < t_sel) | (code < 0))
         t_sel = jnp.where(pick_mesh, t_m, t_sel)

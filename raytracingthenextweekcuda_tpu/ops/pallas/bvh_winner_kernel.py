@@ -95,6 +95,12 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
             jnp.abs(d) < eps, jnp.where(d >= 0.0, eps, -eps), d
         )
 
+    import os
+
+    if os.environ.get("RTNW_WL_FRUSTUM", "0") == "1":
+        return _build_worklist_frustum(
+            ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin, block)
+
     def chunk_fn(args):
         o3, d3, av = args  # (C, 3), (C, 3), (C,)
         tn = jnp.full((o3.shape[0], L), -jnp.inf, jnp.float32)
@@ -260,9 +266,84 @@ def _winner_kernel(
         code_ref[0] = code
 
 
+def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
+                            tmin, block):
+    """Packet-frustum work lists: O(blocks x leaves) instead of
+    O(rays x leaves).
+
+    Classic packet tracing shaped for XLA: the wavefront sort
+    (ops/wavefront_sort.py) makes each block a tight ray packet, so a
+    CONSERVATIVE interval slab test of the packet's origin box x direction
+    interval against each leaf AABB replaces the exact per-ray pass. Lists
+    are supersets of the exact hit-any union (interval arithmetic: all
+    endpoint products, direction intervals spanning zero degrade to
+    unconstrained via the clamped inverses); the winner kernel's exact
+    per-leaf slab prune rejects the extras per ray before any Havel work.
+    """
+    n = ox.shape[0]
+    n_blocks = n // block
+    L = leaf_bounds.shape[1]
+    eps = 1e-20
+    av = alive != 0
+
+    def bnds(c):
+        cb = c.reshape(n_blocks, block)
+        lo_ = jnp.min(jnp.where(av.reshape(n_blocks, block), cb, jnp.inf),
+                      axis=1)
+        hi_ = jnp.max(jnp.where(av.reshape(n_blocks, block), cb, -jnp.inf),
+                      axis=1)
+        return lo_, hi_                      # (B,), (B,)
+
+    o_b = [bnds(c) for c in (ox, oy, oz)]
+    d_b = [bnds(c) for c in (dx, dy, dz)]
+    any_alive = jnp.any(av.reshape(n_blocks, block), axis=1)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(
+            jnp.abs(d) < eps, jnp.where(d >= 0.0, eps, -eps), d
+        )
+
+    tn_lo = jnp.full((n_blocks, L), -jnp.inf, jnp.float32)
+    tf_hi = jnp.full((n_blocks, L), jnp.inf, jnp.float32)
+    for a in range(3):
+        lo_a = leaf_bounds[a][None, :]       # (1, L)
+        hi_a = leaf_bounds[3 + a][None, :]
+        o_lo, o_hi = o_b[a]
+        ilo = safe_inv(d_b[a][0])[:, None]   # (B, 1)
+        ihi = safe_inv(d_b[a][1])[:, None]
+        # Numerator intervals for the two slab planes.
+        cands = []
+        for num in (lo_a - o_hi[:, None], lo_a - o_lo[:, None],
+                    hi_a - o_hi[:, None], hi_a - o_lo[:, None]):
+            cands.append(num * ilo)
+            cands.append(num * ihi)
+        axis_min = cands[0]
+        axis_max = cands[0]
+        for c in cands[1:]:
+            axis_min = jnp.minimum(axis_min, c)
+            axis_max = jnp.maximum(axis_max, c)
+        # A direction interval spanning zero makes 1/d unbounded BETWEEN
+        # the endpoints — endpoint products are not conservative there;
+        # degrade the axis to unconstrained.
+        span0 = ((d_b[a][0] < 0.0) & (d_b[a][1] > 0.0))[:, None]
+        axis_min = jnp.where(span0, -jnp.inf, axis_min)
+        axis_max = jnp.where(span0, jnp.inf, axis_max)
+        tn_lo = jnp.maximum(tn_lo, axis_min)
+        tf_hi = jnp.minimum(tf_hi, axis_max)
+
+    hitb = (tf_hi >= tn_lo) & (tf_hi >= tmin) & any_alive[:, None]
+    key = jnp.where(hitb, tn_lo, jnp.inf)
+    entry, order = jax.lax.sort(
+        (key, jax.lax.broadcasted_iota(jnp.int32, (n_blocks, L), 1)),
+        num_keys=1,
+    )
+    counts = hitb.sum(axis=1).astype(jnp.int32)
+    return (counts[:, None, None], order[:, None, :], entry[:, None, :])
+
+
 def _winner_kernel_mxu(
     cnt_ref, wl_ref, lb_ref, lt_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref,
+    o4_ref, d4_ref, alive_ref,
     wo_ref, wd_ref,
     t_ref, code_ref,
     *, tmin: float, backface_cull: bool, tile: int, prune: bool,
@@ -276,26 +357,23 @@ def _winner_kernel_mxu(
     v = a2 + t*b2 — a ~14-op VPU epilogue instead of the ~43-op
     elementwise Havel chain. The MXU (K padded 4->128, HIGH precision
     bf16x3 passes) does the heavy lifting the VPU did before.
+
+    Ray features arrive COLUMN-major — o4/d4 (B, 4), alive (B, 1) — built
+    by the launcher in XLA: Mosaic cannot shape-cast a (rows, 128) lane
+    layout into (B, 1) sublanes in-kernel.
     """
-    B = ox_ref.shape[1] * 128
+    B = o4_ref.shape[1]
     count = cnt_ref[0, 0, 0]
-    alive2 = alive_ref[0] != 0
+    alive_c = alive_ref[0] != 0                                  # (B, 1)
 
-    t_ref[0] = jnp.full(ox_ref.shape[1:], BIG, jnp.float32)
-    code_ref[0] = jnp.full(ox_ref.shape[1:], -1, jnp.int32)
+    t_ref[0] = jnp.full((B, 1), BIG, jnp.float32)
+    code_ref[0] = jnp.full((B, 1), -1, jnp.int32)
 
-    @pl.when(jnp.any(alive2) & (count > 0))
+    @pl.when(jnp.any(alive_c) & (count > 0))
     def _():
         eps = 1e-20
-        one = jnp.ones((B, 1), jnp.float32)
-        o4 = jnp.concatenate(
-            [ox_ref[0].reshape(B, 1), oy_ref[0].reshape(B, 1),
-             oz_ref[0].reshape(B, 1), one], axis=1)              # (B, 4)
-        d4 = jnp.concatenate(
-            [dx_ref[0].reshape(B, 1), dy_ref[0].reshape(B, 1),
-             dz_ref[0].reshape(B, 1), jnp.zeros((B, 1), jnp.float32)],
-            axis=1)                                              # (B, 4)
-        alive_c = alive_ref[0].reshape(B, 1) != 0
+        o4 = o4_ref[0]                                           # (B, 4)
+        d4 = d4_ref[0]
 
         def safe(d):
             return jnp.where(jnp.abs(d) < eps,
@@ -377,9 +455,8 @@ def _winner_kernel_mxu(
             (jnp.full((B, 1), BIG, jnp.float32),
              jnp.full((B, 1), -1, jnp.int32)),
         )
-        shape = ox_ref.shape[1:]
-        t_ref[0] = jnp.where(code >= 0, best_t, BIG).reshape(shape)
-        code_ref[0] = code.reshape(shape)
+        t_ref[0] = jnp.where(code >= 0, best_t, BIG)
+        code_ref[0] = code
 
 
 def _mxu_weights(trih_geom, tile):
@@ -444,6 +521,55 @@ def _run_winner(ray_comps, counts, order, entry, leaf_bounds, leaf_tiles,
                             memory_space=pltpu.SMEM)
     wl_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.SMEM)
+    import os
+
+    # MXU leaf evaluation measured SLOWER than the elementwise VPU chain
+    # on a v5e (60.5 vs 46.5 ms primaries, 515 vs 218 ms shuffled at
+    # block=256): the K=4 dots pay 32x K-padding on the MXU plus
+    # HIGHEST-precision passes, and the (B,1)-column slab/carry ops run at
+    # 1/128 lane utilization. Kept behind the flag for future hardware.
+    use_mxu = os.environ.get("RTNW_WINNER_MXU", "0") == "1"
+    if use_mxu:
+        wo, wd = _mxu_weights(trih, tile)
+        kern = functools.partial(
+            _winner_kernel_mxu, tmin=tmin, backface_cull=backface_cull,
+            tile=tile, prune=prune,
+        )
+        # Column-major ray features (Mosaic cannot lane->sublane cast
+        # in-kernel; XLA builds them for free in the same fusion).
+        o4 = jnp.stack(
+            [ox, oy, oz, jnp.ones_like(ox)], axis=-1
+        ).reshape(n_blocks, block, 4)
+        d4 = jnp.stack(
+            [dx, dy, dz, jnp.zeros_like(dx)], axis=-1
+        ).reshape(n_blocks, block, 4)
+        alive_c = alive.astype(jnp.int32).reshape(n_blocks, block, 1)
+        col_spec = pl.BlockSpec((1, block, 4), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        alive_spec = pl.BlockSpec((1, block, 1), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, block, 1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_t, out_code = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=(
+                [cnt_spec, wl_spec, smem_all, smem_all]
+                + [col_spec, col_spec, alive_spec]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            ),
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, block, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, block, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            counts, order, leaf_bounds, leaf_tiles,
+            o4, d4, alive_c, wo, wd,
+        )
+        return out_t.reshape(n), out_code.reshape(n)
+
     out_t, out_code = pl.pallas_call(
         kern,
         grid=(n_blocks,),

@@ -51,6 +51,12 @@ def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
     lo/hi: (3,) root AABB of the tile-BVH — positions are quantized to a
     512^3 grid inside it (clipped, so rays outside the box still sort
     sensibly to the nearest face).
+
+    Bit 30 marks rays whose slab test MISSES the root box: they still
+    need analytic-primitive intersection but are dead to the winner
+    kernel (ops/fused.py's mesh-needed mask), so clustering them makes
+    whole blocks mesh-skippable — the wavefront analogue of the
+    reference's mesh AABB early-out (TriangleMesh.cu:35-37).
     """
     f32 = jnp.float32
     span = jnp.maximum((hi - lo).astype(f32), 1e-12)
@@ -69,7 +75,21 @@ def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
         | ((dy < 0.0).astype(jnp.int32) << 1)
         | (dz < 0.0).astype(jnp.int32)
     )
-    key = (octant << 27) | m
+    eps = 1e-20
+    rtn = None
+    rtf = None
+    for o_c, d_c, a in ((ox, dx, 0), (oy, dy, 1), (oz, dz, 2)):
+        da = jnp.where(jnp.abs(d_c) < eps,
+                       jnp.where(d_c >= 0.0, eps, -eps), d_c)
+        inv = 1.0 / da
+        t0 = (lo[a] - o_c) * inv
+        t1 = (hi[a] - o_c) * inv
+        tnn = jnp.minimum(t0, t1)
+        tff = jnp.maximum(t0, t1)
+        rtn = tnn if rtn is None else jnp.maximum(rtn, tnn)
+        rtf = tff if rtf is None else jnp.minimum(rtf, tff)
+    miss_root = ((rtf < rtn) | (rtf < 0.0)).astype(jnp.int32)
+    key = (miss_root << 30) | (octant << 27) | m
     return jnp.where(alive != 0, key, jnp.int32(DEAD_KEY))
 
 

@@ -31,7 +31,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Dead-ray key: int32 max, sorts after every live key (live keys < 2^30).
+# Dead-ray key: int32 max, sorts after every live key. Live keys span the
+# full 31 value bits (miss_root<<30 | octant<<27 | morton27) so ray_sort_key
+# clamps them to DEAD_KEY-1 — the sorted key doubles as the alive mask
+# (key != DEAD_KEY) downstream.
 DEAD_KEY = 0x7FFFFFFF
 
 
@@ -90,6 +93,10 @@ def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
         rtf = tff if rtf is None else jnp.minimum(rtf, tff)
     miss_root = ((rtf < rtn) | (rtf < 0.0)).astype(jnp.int32)
     key = (miss_root << 30) | (octant << 27) | m
+    # A root-missing all-negative-octant ray clip-quantized to 511 on all
+    # axes would hit exactly DEAD_KEY; clamp so live keys stay strictly
+    # below the sentinel (consumers reconstruct alive as key != DEAD_KEY).
+    key = jnp.minimum(key, jnp.int32(DEAD_KEY - 1))
     return jnp.where(alive != 0, key, jnp.int32(DEAD_KEY))
 
 

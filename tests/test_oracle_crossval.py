@@ -138,10 +138,11 @@ def test_cornellbox0_vs_reference_committed_render():
        a small factor. The scene's white walls have albedo 1.0, so
        radiance grows with every added bounce and never converges in
        depth; our 5-bounce render lands within 4% of the PNG's mean while
-       the current reference source traces 10 (main.cu:23,66). The
-       committed PNG therefore reflects an earlier shallower build — we
-       pin BOTH facts: 5-bounce mean matches tightly, 10-bounce mean is
-       bounded above by the expected truncation ratio.
+       the current reference source traces 10 (main.cu:23,66). Which
+       depth generated the committed PNG is not recoverable (likely an
+       earlier shallower build, but unverifiable) — so we bound both:
+       5-bounce mean matches tightly, 10-bounce mean sits in
+       [no-dimmer, expected-truncation-ratio].
     """
     from PIL import Image
 
@@ -176,7 +177,11 @@ def test_cornellbox0_vs_reference_committed_render():
     bb = ref64.mean(axis=2).reshape(16, 4, 16, 4).mean(axis=(1, 3)).ravel()
     corr = np.corrcoef(a, bb)[0, 1]
     assert corr > 0.96, corr
-    # Tier 2b: 10-bounce is brighter (deeper truncation) but bounded.
+    # Tier 2b: 10-bounce is no dimmer, and bounded above by the expected
+    # truncation ratio. Whether the committed PNG was produced at 5 or 10
+    # bounces is not recoverable from the repo (the brightness gap
+    # suggests a shallower build, but that is an inference, not a pinned
+    # fact) — so the lower bound includes exact equality with the golden.
     for c in range(3):
         ratio = img10[..., c].mean() / ref64[..., c].mean()
-        assert 1.0 < ratio < 1.25, (c, ratio)
+        assert 0.96 < ratio < 1.25, (c, ratio)

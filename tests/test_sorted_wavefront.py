@@ -88,6 +88,28 @@ def test_sort_key_dead_rays_last_and_octant_major():
     assert neg.min() > pos.max()
 
 
+def test_sort_key_live_ray_never_equals_dead_key():
+    """Worst-case live key: root-missing (bit 30), all-negative octant
+    (bits 27-29), origin clip-quantized to 511 on all axes — the raw bit
+    pattern is exactly DEAD_KEY. The clamp must keep it strictly below the
+    sentinel, or _trace_sorted's alive reconstruction (key != DEAD_KEY)
+    silently kills the ray mid-trace."""
+    lo = jnp.asarray([0.0, 0.0, 0.0])
+    hi = jnp.asarray([1.0, 1.0, 1.0])
+    # Far beyond the box max corner on every axis; direction all-negative
+    # but grazing past the box (misses the root slab test).
+    ox = jnp.asarray([100.0])
+    oy = jnp.asarray([100.0])
+    oz = jnp.asarray([100.0])
+    dx = jnp.asarray([-1.0])
+    dy = jnp.asarray([-1e-3])
+    dz = jnp.asarray([-1e-3])
+    alive = jnp.asarray([1], jnp.int32)
+    key = np.asarray(ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi))
+    assert key[0] == DEAD_KEY - 1  # clamped, still sorts last among live
+    assert key[0] != DEAD_KEY
+
+
 def test_sort_wavefront_roundtrip_permutation():
     k = jax.random.key(0)
     n = 256

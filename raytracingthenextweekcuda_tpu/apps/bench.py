@@ -118,7 +118,7 @@ _REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"
 
 def run_mesh_bench(
     width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
-    spp_per_pass: int = 16,
+    spp_per_pass: int = 16, sort_stride: int = 1,
 ) -> dict:
     """Secondary metric: BASELINE config 4 on the reference's OWN assets.
 
@@ -167,7 +167,7 @@ def run_mesh_bench(
     scene = finalize(scene)  # > threshold -> tile-BVH winner-kernel path
 
     cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces,
-                       spp_per_pass=spp_per_pass)
+                       spp_per_pass=spp_per_pass, sort_stride=sort_stride)
 
     def sync(x):
         np.asarray(jnp.sum(x))

@@ -71,6 +71,11 @@ class RenderConfig:
     # skipped blocks (compaction for free). The per-pixel counter RNG makes
     # the sorted render bit-identical to the unsorted one.
     sort_rays: bool = True
+    # Re-sort every k-th bounce (1 = every bounce). Block coherence decays
+    # gradually after a diffuse bounce, so skipping sorts trades larger
+    # winner-kernel work lists for fewer multi-operand sorts; the image is
+    # bit-identical for any stride (sorting is a permutation).
+    sort_stride: int = 1
 
     @property
     def aspect_ratio(self) -> float:

@@ -71,16 +71,49 @@ def _register_material(builder: SceneBuilder, material_id: int, spec: dict) -> N
         raise ValueError(f"unknown material type {mtype}")
 
 
+def register_scene1_materials(builder: SceneBuilder) -> None:
+    """Pre-register the reference's 9 hard-coded material slots.
+
+    initialize() creates materials 0-8 BEFORE parsing the YAML
+    (main.cu:643-651), and the parser's create-if-null check
+    (main.cu:710-747) then IGNORES every inline material definition whose
+    slot is taken — so at runtime cornellbox2's "light" plane (declared
+    Lambertian in the file) is actually Emission((1,1,1), 5.0) from slot 8.
+    Calling this before load populates the builder with those runtime
+    materials; first-definition-wins makes the YAML's inline defs inert,
+    byte-matching the reference's effective scene.
+    """
+    builder.lambertian(0, (1.0, 0.0, 0.0))
+    builder.lambertian(1, (0.0, 1.0, 0.0))
+    builder.lambertian(2, (0.0, 0.0, 1.0))
+    builder.lambertian(3, (1.0, 1.0, 1.0))
+    builder.lambertian(4, (0.75, 0.25, 0.25))
+    builder.lambertian(5, (0.25, 0.25, 0.75))
+    builder.metal(6, (1.0, 1.0, 1.0), 0.0)
+    builder.dielectric(7, 1.5)
+    builder.emission(8, (1.0, 1.0, 1.0), 5.0)
+
+
 def load_scene(
-    path: str, model_roots=None, extra_camera_kw=None
+    path: str, model_roots=None, extra_camera_kw=None,
+    scene1_materials: bool = False,
 ) -> tuple[Scene, Camera]:
-    """Load a reference-format YAML scene file -> (Scene, Camera)."""
-    builder, camera = load_scene_builder(path, model_roots, extra_camera_kw)
+    """Load a reference-format YAML scene file -> (Scene, Camera).
+
+    scene1_materials=True reproduces the reference's RUNTIME material
+    binding (pre-created slots 0-8 override the file's inline defs; see
+    register_scene1_materials) instead of the file's declarative intent.
+    """
+    builder, camera = load_scene_builder(
+        path, model_roots, extra_camera_kw,
+        scene1_materials=scene1_materials,
+    )
     return builder.build(), camera
 
 
 def load_scene_builder(
-    path: str, model_roots=None, extra_camera_kw=None
+    path: str, model_roots=None, extra_camera_kw=None,
+    scene1_materials: bool = False,
 ) -> tuple[SceneBuilder, Camera]:
     """Like load_scene, but returns the un-built SceneBuilder so callers
     can append objects first (e.g. bench.py adds the reference's
@@ -94,6 +127,8 @@ def load_scene_builder(
     camera = Camera.from_yaml_block(doc["camera"])
 
     builder = SceneBuilder()
+    if scene1_materials:
+        register_scene1_materials(builder)
     for entry in doc.get("objects", []):
         (kind_name, obj), = entry.items()
         if "materialId" not in obj or "material" not in obj:

@@ -138,6 +138,35 @@ def generate_rays(
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
     ctx = ray_context(pass_key, pixel_ids)
+    return generate_rays_ctx(frame, ctx, width, height), ctx
+
+
+def generate_rays_multi(
+    frame: CameraFrame, sample_keys, width: int, height: int,
+) -> tuple[Rays, rng.RayCtx]:
+    """Batched multi-sample raygen: one ray per (sample, pixel) in ONE
+    sweep over samples*width*height ids, sample-major (ray s*n + p is
+    sample s, pixel p) — bit-identical to `samples` separate
+    generate_rays(sample_keys[s], ...) calls concatenated, but a single
+    raygen op in the program instead of an unrolled one per sample.
+
+    `sample_keys` is a batched jax.random key array of shape (samples,).
+    The returned ctx carries per-ray (N,) base words (each ray holds its
+    own sample's key words, so they can ride a wavefront sort).
+    """
+    g = sample_keys.shape[0]
+    n = width * height
+    pid = jnp.tile(jnp.arange(n, dtype=jnp.uint32), g)
+    b0, b1 = rng.key_bases(sample_keys)  # (g,) each
+    ctx = rng.RayCtx(pid, jnp.repeat(b0, n), jnp.repeat(b1, n))
+    return generate_rays_ctx(frame, ctx, width, height), ctx
+
+
+def generate_rays_ctx(
+    frame: CameraFrame, ctx: rng.RayCtx, width: int, height: int,
+) -> Rays:
+    """Raygen body over a prebuilt RayCtx (see generate_rays)."""
+    pixel_ids = ctx.pixel_id
     # 5 uniforms per ray: pixel jitter (2), lens disk (2), shutter time (1).
     u = rng.raygen_uniforms(ctx)
 
@@ -161,4 +190,4 @@ def generate_rays(
     )
     direction = linalg.normalize(direction)
     time = u[:, 4] * (frame.time1 - frame.time0) + frame.time0
-    return Rays(origin=origin, direction=direction, time=time), ctx
+    return Rays(origin=origin, direction=direction, time=time)

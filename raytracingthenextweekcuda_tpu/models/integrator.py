@@ -180,19 +180,32 @@ def _sorted_eligible(scene: Scene, cfg: RenderConfig) -> bool:
     )
 
 
-def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarray:
+def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig,
+                  sample_tables=None, shutter=None) -> jnp.ndarray:
     """Sorted-wavefront trace for tile-BVH scenes (see _sorted_eligible).
 
     Each bounce is the standard XLA bounce body (winner kernels + gathered
     differentiable recompute + branchless BSDF); between bounces the
     wavefront is re-sorted by direction-octant + position-morton so
-    1024-ray blocks stay spatially coherent for the winner kernel's
-    per-block leaf work lists, with dead rays clustering into whole skipped
-    blocks. The per-(pixel, bounce) counter RNG rides the pixel id through
-    the sort, so the result is bit-identical to the unsorted XLA trace
-    (elementwise math is row-independent; sort + unsort is a permutation).
+    winner-kernel blocks stay spatially coherent for the per-block leaf
+    work lists, with dead rays clustering into whole skipped blocks. The
+    per-(pixel, bounce) counter RNG rides through the sort, so the result
+    is bit-identical to the unsorted XLA trace (elementwise math is
+    row-independent; sort + unsort is a permutation).
+
+    The multi-operand sort is HBM-bandwidth-bound, so the payload is
+    minimized. With `sample_tables`=(tb0, tb1) per-sample key-word tables
+    and `shutter`=(time0, time1) — the render_pass multi-sample layout,
+    where ray s*num_pixels + p is sample s, pixel p — ONLY ONE int32 row
+    (the original slot) rides beyond the 13 float rows of ray state:
+    pixel id and sample index are arithmetic functions of slot, base
+    words come from the tiny tables, and ray time is recomputed from the
+    raygen hash (rng.shutter_uniform — a pure function of (pixel, key),
+    so bit-identical). Without tables, pixel ids ride as a row and time
+    rides when bases are per-ray (the generic path).
     """
     from raytracingthenextweekcuda_tpu.ops.wavefront_sort import (
+        DEAD_KEY,
         ray_sort_key,
         unsort_radiance,
     )
@@ -200,12 +213,33 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarr
     packed = scene.packed
     n = rays.count
     dtype = rays.origin.dtype
-    pid = ctx.pixel_id.astype(jnp.int32)
-    b0 = jnp.broadcast_to(ctx.base0, (n,)).astype(jnp.int32)
-    b1 = jnp.broadcast_to(ctx.base1, (n,)).astype(jnp.int32)
+    n_pix = cfg.num_pixels
     slot = jnp.arange(n, dtype=jnp.int32)
     lo = packed.bvh_bounds[0:3, 0]
     hi = packed.bvh_bounds[3:6, 0]
+
+    compact = sample_tables is not None and shutter is not None
+    scalar_bases = jnp.ndim(ctx.base0) == 0
+    if compact:
+        tb0, tb1 = sample_tables
+        g = int(tb0.shape[0])
+
+    def rebuild_ids(slot, pid_row):
+        """RayCtx (+ recomputed time) for the current wavefront order."""
+        if compact:
+            pid = (slot % n_pix).astype(jnp.uint32)
+            sid = slot // n_pix
+            b0 = jnp.broadcast_to(tb0[0], (n,))
+            b1 = jnp.broadcast_to(tb1[0], (n,))
+            for s in range(1, g):  # tiny static table: select chain
+                b0 = jnp.where(sid == s, tb0[s], b0)
+                b1 = jnp.where(sid == s, tb1[s], b1)
+            ctx_b = rng.RayCtx(pid, b0, b1)
+            t0s, t1s = shutter
+            time = rng.shutter_uniform(ctx_b) * (t1s - t0s) + t0s
+            return ctx_b, time
+        return rng.RayCtx(pid_row.astype(jnp.uint32), ctx.base0,
+                          ctx.base1), None
 
     state = (
         rays,
@@ -213,19 +247,30 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarr
         jnp.zeros((n, 3), dtype),  # radiance
         jnp.ones((n,), bool),      # alive
     )
-    carry = (state, pid, slot, b0, b1)
+    if compact:
+        carry = (state, slot)
+    elif scalar_bases:
+        carry = (state, ctx.pixel_id.astype(jnp.int32), slot)
+    else:
+        carry = (state, ctx.pixel_id.astype(jnp.int32), slot,
+                 jnp.broadcast_to(ctx.base0, (n,)).astype(jnp.int32),
+                 jnp.broadcast_to(ctx.base1, (n,)).astype(jnp.int32))
 
     def step(carry, bounce_idx):
-        state, pid, slot, b0, b1 = carry
-        ctx_b = rng.RayCtx(
-            pid.astype(jnp.uint32), b0.astype(jnp.uint32),
-            b1.astype(jnp.uint32),
-        )
+        state = carry[0]
+        if compact:
+            ctx_b, _ = rebuild_ids(carry[1], None)
+        elif scalar_bases:
+            ctx_b, _ = rebuild_ids(None, carry[1])
+        else:
+            ctx_b = rng.RayCtx(carry[1].astype(jnp.uint32),
+                               carry[3].astype(jnp.uint32),
+                               carry[4].astype(jnp.uint32))
         state = _bounce_body(scene, cfg, state, ctx_b, bounce_idx)
-        return (state, pid, slot, b0, b1)
+        return (state, *carry[1:])
 
     def sort_then_step(carry, bounce_idx):
-        state, pid, slot, b0, b1 = carry
+        state = carry[0]
         rays_b, throughput, radiance, alive = state
         key = ray_sort_key(
             rays_b.origin[:, 0], rays_b.origin[:, 1], rays_b.origin[:, 2],
@@ -233,41 +278,53 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarr
             rays_b.direction[:, 2],
             alive.astype(jnp.int32), lo, hi,
         )
-        # ONE multi-operand unstable sort moves the whole planar state:
-        # measured 294 ms vs 1000 ms for argsort + per-row gathers at a
-        # 4.2M-ray wavefront (gathers serialize per lane on TPU). The
+        # ONE multi-operand unstable sort moves the whole planar state
+        # (argsort + per-row gathers serialize per lane on TPU). The
         # alive row rides for free as the sorted key itself — dead rays
         # carry DEAD_KEY by construction (ops/wavefront_sort.ray_sort_key).
-        out = jax.lax.sort(
-            (key,
-             rays_b.origin[:, 0], rays_b.origin[:, 1], rays_b.origin[:, 2],
-             rays_b.direction[:, 0], rays_b.direction[:, 1],
-             rays_b.direction[:, 2], rays_b.time,
-             throughput[:, 0], throughput[:, 1], throughput[:, 2],
-             radiance[:, 0], radiance[:, 1], radiance[:, 2],
-             pid, slot, b0, b1),
-            num_keys=1, is_stable=False,
+        rows = (
+            rays_b.origin[:, 0], rays_b.origin[:, 1], rays_b.origin[:, 2],
+            rays_b.direction[:, 0], rays_b.direction[:, 1],
+            rays_b.direction[:, 2],
+            throughput[:, 0], throughput[:, 1], throughput[:, 2],
+            radiance[:, 0], radiance[:, 1], radiance[:, 2],
         )
-        from raytracingthenextweekcuda_tpu.ops.wavefront_sort import DEAD_KEY
-
+        if not compact:
+            rows = rows + (rays_b.time,)
+        out = jax.lax.sort((key, *rows, *carry[1:]),
+                           num_keys=1, is_stable=False)
         key_s = out[0]
+        aux = out[1 + len(rows):]
+        if compact:
+            _, time = rebuild_ids(aux[0], None)
+        else:
+            time = out[len(rows)]  # rode the sort
         state = (
             Rays(origin=jnp.stack(out[1:4], axis=-1),
                  direction=jnp.stack(out[4:7], axis=-1),
-                 time=out[7]),
-            jnp.stack(out[8:11], axis=-1),
-            jnp.stack(out[11:14], axis=-1),
+                 time=time),
+            jnp.stack(out[7:10], axis=-1),
+            jnp.stack(out[10:13], axis=-1),
             key_s != DEAD_KEY,
         )
-        return step((state, out[14], out[15], out[16], out[17]), bounce_idx)
+        return step((state, *aux), bounce_idx)
+
+    stride = max(1, int(getattr(cfg, "sort_stride", 1)))
 
     def body(carry, bounce_idx):
+        if stride == 1:
+            do = lambda c: sort_then_step(c, bounce_idx)
+        else:
+            def do(c):
+                return jax.lax.cond(
+                    (bounce_idx - 1) % jnp.uint32(stride) == 0,
+                    lambda cc: sort_then_step(cc, bounce_idx),
+                    lambda cc: step(cc, bounce_idx),
+                    c,
+                )
         # Whole-wavefront early-out, as in trace()'s bounce_or_skip.
         return jax.lax.cond(
-            jnp.any(carry[0][3]),
-            lambda c: sort_then_step(c, bounce_idx),
-            lambda c: c,
-            carry,
+            jnp.any(carry[0][3]), do, lambda c: c, carry,
         ), None
 
     # Primary rays arrive in pixel order (already coherent): bounce first,
@@ -277,7 +334,8 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig) -> jnp.ndarr
         carry, _ = jax.lax.scan(
             body, carry, jnp.arange(1, cfg.bounces, dtype=jnp.uint32)
         )
-    (_, _, radiance, _), slot = carry[0], carry[2]
+    radiance = carry[0][2]
+    slot = carry[1] if compact else carry[2]
     return unsort_radiance(
         slot, radiance[:, 0], radiance[:, 1], radiance[:, 2], n
     )
@@ -429,36 +487,25 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
         # wavefront of samples*num_pixels rays. The coherence sort then
         # clusters rays across samples (8x the material per block), the
         # per-bounce dispatch count drops from samples*bounces to bounces,
-        # and dead rays from every sample compact together. Each ray carries
-        # its own RNG key words so the stream is identical to per-sample
-        # tracing. Capped to bound HBM (18 planar f32 rows per ray).
+        # and dead rays from every sample compact together. Raygen is ONE
+        # batched op over the whole group (generate_rays_multi), and the
+        # per-sample key words go to _trace_sorted as tiny tables rather
+        # than riding the wavefront sort. Capped to bound HBM (14 planar
+        # f32 rows per ray).
         n = cfg.num_pixels
         group = max(1, min(samples, _SORT_WAVEFRONT_CAP // max(n, 1)))
         accum = jnp.zeros((n, 3), frame.origin.dtype)
         for start in range(0, samples, group):
             g = min(group, samples - start)
-            rays_l, ctx_l = [], []
-            for s in range(start, start + g):
-                r, c = camera_mod.generate_rays(
-                    frame, sample_keys[s], cfg.width, cfg.height
-                )
-                rays_l.append(r)
-                ctx_l.append(c)
-            rays = Rays(
-                origin=jnp.concatenate([r.origin for r in rays_l]),
-                direction=jnp.concatenate([r.direction for r in rays_l]),
-                time=jnp.concatenate([r.time for r in rays_l]),
+            keys_g = sample_keys[start:start + g]
+            rays, ctx = camera_mod.generate_rays_multi(
+                frame, keys_g, cfg.width, cfg.height
             )
-            ctx = rng.RayCtx(
-                pixel_id=jnp.concatenate([c.pixel_id for c in ctx_l]),
-                base0=jnp.concatenate(
-                    [jnp.broadcast_to(c.base0, (n,)) for c in ctx_l]
-                ),
-                base1=jnp.concatenate(
-                    [jnp.broadcast_to(c.base1, (n,)) for c in ctx_l]
-                ),
+            radiance = _trace_sorted(
+                scene, rays, ctx, cfg,
+                sample_tables=rng.key_bases(keys_g),
+                shutter=(frame.time0, frame.time1),
             )
-            radiance = _trace_sorted(scene, rays, ctx, cfg)
             accum = accum + radiance.reshape(g, n, 3).sum(axis=0)
         return accum.reshape(cfg.height, cfg.width, 3)
 

@@ -36,12 +36,18 @@ def intersect_scene_fused(
     scene, packed: PackedScene, rays: Rays, tmin, backface_cull: bool = True,
     interpret: bool = False, alive=None,
 ) -> Hit:
+    import os
+
     has_tile_bvh = getattr(packed, "leaf_bounds", None) is not None
+    # Profiling ablation ONLY (wrong image): skip the winner-kernel mesh
+    # branch to time the rest of the sorted bounce (sort+analytic+shade).
+    # Triangles stay OUT of the analytic kernel either way.
+    skip_mesh = os.environ.get("RTNW_DEBUG_SKIP_MESH") == "1"
     t_sel, code = jax.lax.stop_gradient(
         intersect_packed(rays, packed, tmin, backface_cull, interpret,
                          alive=alive, include_triangles=not has_tile_bvh)
     )
-    if has_tile_bvh:
+    if has_tile_bvh and not skip_mesh:
         # Two-level dispatch: the work-list winner kernel covers the mesh
         # (ops/pallas/bvh_winner_kernel.py), intersect_packed the analytic
         # primitives; merge by closest t. Triangle codes index the permuted
@@ -78,9 +84,19 @@ def intersect_scene_fused(
         if alive is not None:
             alive_mesh = alive_mesh & alive
 
+        from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
+            BIG,
+        )
+
+        # Per-ray analytic occlusion ceiling: the winner kernel searches
+        # only in FRONT of the closest analytic hit (a triangle behind the
+        # wall this ray already hit can never win the closest-t merge
+        # below), which prunes leaf visits per ray and tightens the
+        # kernel's block occlusion horizon.
+        t_cap = jnp.where(code >= 0, t_sel, BIG)
         t_m, c_m = jax.lax.stop_gradient(
             intersect_packed_bvh(rays, packed, tmin, backface_cull,
-                                 interpret, alive=alive_mesh)
+                                 interpret, alive=alive_mesh, t_cap=t_cap)
         )
         pick_mesh = (c_m >= 0) & ((t_m < t_sel) | (code < 0))
         t_sel = jnp.where(pick_mesh, t_m, t_sel)

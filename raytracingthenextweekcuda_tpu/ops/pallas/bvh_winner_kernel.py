@@ -13,18 +13,21 @@ This module inverts the control flow, the standard XLA move: decide the
 data-dependent part OUTSIDE the kernel, feed the kernel a dense work list.
 
   1. `build_worklist` (pure XLA, vectorized): slab-test every ray against
-     every LEAF AABB, reduce to a per-1024-ray-block (hit-any, nearest-tn)
-     per leaf, and argsort leaves per block by entry distance. Output: a
-     compact front-to-back leaf list + count per block. Costs ~1-2 ms for
-     262k rays x 168 leaves — noise.
-  2. `_winner_kernel` (Pallas): per block, fori_loop over ITS OWN leaf
-     list (lengths from SMEM). Each listed leaf is slab-RE-checked against
-     the block's live best_t (front-to-back order makes this an occlusion
-     prune, the analogue of the reference's `if (bestTriDist < distlimit)`
-     pruning) and, if any ray can still improve, one vectorized
-     (ROWS, 128, 128) Havel tile evaluation updates (best_t, winner code).
-     No tree walk, no per-row conds, no attribute resolution: the kernel
-     returns (t, code) only, code = global padded-triangle column.
+     every LEAF AABB, reduce to a per-block (hit-any, nearest-tn) per
+     leaf, and argsort leaves per block by entry distance. Output: a
+     compact front-to-back leaf list + count per block.
+  2. `_winner_kernel` (Pallas): per block, while_loop over ITS OWN leaf
+     list (lengths from SMEM), terminating at the OCCLUSION HORIZON: the
+     sorted entry distances are compared against the block's live search
+     ceiling (per-ray best-hit, capped by the analytic-occlusion t and
+     the ray's root-box exit), so the walk stops as soon as no remaining
+     leaf can improve any ray — the wavefront analogue of the reference's
+     closest-hit distance pruning (CUDAPathTracer.cu:332-345). Each
+     listed leaf is additionally slab-RE-checked against the live best_t
+     and, if any ray can still improve, one vectorized (ROWS, 128, tile)
+     Havel tile evaluation updates (best_t, winner code). No tree walk,
+     no per-row conds, no attribute resolution: the kernel returns
+     (t, code) only, code = global padded-triangle column.
   3. Attributes/normals are gathered OUTSIDE by ops/fused.py's
      differentiable recompute — which makes this path the one that serves
      BOTH production forward rendering and inverse rendering on meshes
@@ -35,6 +38,12 @@ Reference parity: leaf test is the precomputed plane + edge-plane (Havel)
 form the reference bakes per triangle (Loader.cpp:189-201, consumed
 CUDAPathTracer.cu:294-326); front-to-back pruning mirrors its
 closest-hit-so-far distance test (CUDAPathTracer.cu:332-345).
+
+(An MXU formulation of the leaf test — t/u/v as two K=4 matmuls — was
+measured SLOWER than the elementwise VPU chain on a v5e: 60.5 vs 46.5 ms
+on primaries, 515 vs 218 ms on a shuffled wavefront. The K=4 dots pay 32x
+K-padding on the MXU plus HIGHEST-precision passes, and the (B,1)-column
+carry ops run at 1/128 lane utilization. Removed; see git history.)
 """
 
 from __future__ import annotations
@@ -60,6 +69,11 @@ _LANE_MAX = 2**30
 # x 4 B = 268 MB per temp at the cap).
 _WL_CHUNK_BLOCKS = 128
 
+# Exact per-ray work-list build is O(rays x leaves); above this leaf count
+# the conservative packet-frustum build (O(blocks x leaves), supersets
+# rejected per-ray by the kernel's slab prune) takes over.
+FRUSTUM_LEAF_THRESHOLD = 2048
+
 
 @functools.partial(
     jax.jit, static_argnames=("tmin", "block", "interpret")
@@ -81,6 +95,10 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
     formulation of the slab pass with leaves on sublanes was measured
     SLOWER than this fused XLA pass — the per-op (Lpad,1)x(1,128)
     broadcast relayouts cost more than XLA's HBM temps.)
+
+    Above FRUSTUM_LEAF_THRESHOLD leaves the exact O(rays x leaves) pass is
+    replaced by the conservative packet-frustum pass (O(blocks x leaves),
+    see _build_worklist_frustum); RTNW_WL_FRUSTUM=1/0 forces it on/off.
     """
     n = ox.shape[0]
     n_blocks = n // block
@@ -97,7 +115,12 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
 
     import os
 
-    if os.environ.get("RTNW_WL_FRUSTUM", "0") == "1":
+    frustum_env = os.environ.get("RTNW_WL_FRUSTUM", "")
+    use_frustum = (
+        frustum_env == "1"
+        or (frustum_env != "0" and L > FRUSTUM_LEAF_THRESHOLD)
+    )
+    if use_frustum:
         return _build_worklist_frustum(
             ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin, block)
 
@@ -154,8 +177,8 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
 
 
 def _winner_kernel(
-    cnt_ref, wl_ref, lb_ref, lt_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref,
+    cnt_ref, wl_ref, entry_ref, root_ref, lb_ref, lt_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref, tcap_ref,
     trih_ref,
     t_ref, code_ref,
     *, tmin: float, backface_cull: bool, tile: int, prune: bool,
@@ -185,14 +208,41 @@ def _winner_kernel(
         o1 = lambda v: v[..., None]
         oxe, oye, oze = o1(ox), o1(oy), o1(oz)
         dxe, dye, dze = o1(dx), o1(dy), o1(dz)
+        n_list = wl_ref.shape[2]
+
+        # Per-ray search ceiling: the closest ANALYTIC hit (tcap — a leaf
+        # behind the wall this ray already hit can never win) capped by
+        # the ray's ROOT-BOX EXIT distance (every leaf box lies inside
+        # the root box, so a ray's leaf-slab interval is contained in its
+        # root interval; nothing can hit past the root exit). tcap seeds
+        # best_t, so the per-leaf slab prune also rejects leaves behind
+        # analytic hits; the root exit joins only the horizon (with a
+        # small safety margin for fp slack) so rays that cross the root
+        # box hitting nothing no longer pin the horizon at BIG.
+        t0a = (root_ref[0, 0] - ox) * inv_dx
+        t1a = (root_ref[3, 0] - ox) * inv_dx
+        tfr = jnp.maximum(t0a, t1a)
+        t0a = (root_ref[1, 0] - oy) * inv_dy
+        t1a = (root_ref[4, 0] - oy) * inv_dy
+        tfr = jnp.minimum(tfr, jnp.maximum(t0a, t1a))
+        t0a = (root_ref[2, 0] - oz) * inv_dz
+        t1a = (root_ref[5, 0] - oz) * inv_dz
+        tfr = jnp.minimum(tfr, jnp.maximum(t0a, t1a))
+        exit_pad = tfr * (1.0 + 1e-5) + 1e-4
+        ceil0 = jnp.minimum(tcap_ref[0], jnp.maximum(exit_pad, 0.0))
+
+        def horizon(best_t):
+            return jnp.max(
+                jnp.where(alive, jnp.minimum(best_t, ceil0), -jnp.inf)
+            )
 
         def hav(row, ts):
             return trih_ref[row, pl.ds(pl.multiple_of(ts, 128), tile)][
                 None, None, :
             ]
 
-        def body(i, carry):
-            best_t, code = carry
+        def body(carry):
+            i, best_t, code, tmax = carry
             l = wl_ref[0, 0, i]
             if prune:
                 # Slab re-check against the LIVE best_t: front-to-back
@@ -216,7 +266,7 @@ def _winner_kernel(
                 node_hit = alive
 
             def eval_tile(carry):
-                best_t, code = carry
+                best_t, code, tmax = carry
                 ts = lt_ref[0, l]
                 nx, ny, nz = hav(0, ts), hav(1, ts), hav(2, ts)
                 dc = hav(3, ts)
@@ -246,21 +296,42 @@ def _winner_kernel(
                 win_lane = jnp.min(
                     jnp.where(is_best, lane, _LANE_MAX), axis=-1
                 )
+                best_t = jnp.where(improved, tile_best, best_t)
+                # Horizon shrinks only when a tile improved some ray.
                 return (
-                    jnp.where(improved, tile_best, best_t),
+                    best_t,
                     jnp.where(improved, ts + win_lane, code),
+                    horizon(best_t),
                 )
 
             if not prune:
-                return eval_tile(carry)
-            return jax.lax.cond(
-                jnp.any(node_hit), eval_tile, lambda c: c, carry
-            )
+                bt, cd, tmax = eval_tile((best_t, code, tmax))
+            else:
+                bt, cd, tmax = jax.lax.cond(
+                    jnp.any(node_hit), eval_tile, lambda c: c,
+                    (best_t, code, tmax),
+                )
+            return (i + 1, bt, cd, tmax)
 
-        best_t, code = jax.lax.fori_loop(
-            0, count, body,
-            (jnp.full(shape, BIG, jnp.float32),
-             jnp.full(shape, -1, jnp.int32)),
+        def cond(carry):
+            i, _, _, tmax = carry
+            if not prune:
+                return i < count
+            # Occlusion-horizon cutoff: entry is ascending and
+            # entry[b,i] = min over the block's rays of leaf i's slab tn,
+            # so a ray's tn for ANY remaining leaf is >= entry[i]. Once
+            # entry[i] >= every live ray's search ceiling, no remaining
+            # leaf can produce a closer hit — stop the walk.
+            nxt = entry_ref[0, 0, jnp.minimum(i, n_list - 1)]
+            return (i < count) & (nxt < tmax)
+
+        init_t = tcap_ref[0]  # analytic-occlusion ceiling (BIG if none)
+        _, best_t, code, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0),
+             init_t,
+             jnp.full(shape, -1, jnp.int32),
+             horizon(init_t)),
         )
         t_ref[0] = jnp.where(code >= 0, best_t, BIG)
         code_ref[0] = code
@@ -341,170 +412,19 @@ def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
     return (counts[:, None, None], order[:, None, :], entry[:, None, :])
 
 
-def _winner_kernel_mxu(
-    cnt_ref, wl_ref, lb_ref, lt_ref,
-    o4_ref, d4_ref, alive_ref,
-    wo_ref, wd_ref,
-    t_ref, code_ref,
-    *, tmin: float, backface_cull: bool, tile: int, prune: bool,
-):
-    """MXU leaf evaluation: the Havel test as two K=4 matmuls per visit.
-
-    Per (ray, triangle) pair, t/u/v are affine in (origin, 1) and
-    (direction, 0):  num = dc - o.n,  a1 = c4.o + c7,  a2 = c8.o + c11
-    (one (B,4) @ (4,3*tile) dot against wo), and den = d.n, b1 = c4.d,
-    b2 = c8.d (one dot against wd). Then t = num/den, u = a1 + t*b1,
-    v = a2 + t*b2 — a ~14-op VPU epilogue instead of the ~43-op
-    elementwise Havel chain. The MXU (K padded 4->128, HIGH precision
-    bf16x3 passes) does the heavy lifting the VPU did before.
-
-    Ray features arrive COLUMN-major — o4/d4 (B, 4), alive (B, 1) — built
-    by the launcher in XLA: Mosaic cannot shape-cast a (rows, 128) lane
-    layout into (B, 1) sublanes in-kernel.
-    """
-    B = o4_ref.shape[1]
-    count = cnt_ref[0, 0, 0]
-    alive_c = alive_ref[0] != 0                                  # (B, 1)
-
-    t_ref[0] = jnp.full((B, 1), BIG, jnp.float32)
-    code_ref[0] = jnp.full((B, 1), -1, jnp.int32)
-
-    @pl.when(jnp.any(alive_c) & (count > 0))
-    def _():
-        eps = 1e-20
-        o4 = o4_ref[0]                                           # (B, 4)
-        d4 = d4_ref[0]
-
-        def safe(d):
-            return jnp.where(jnp.abs(d) < eps,
-                             jnp.where(d >= 0.0, eps, -eps), d)
-
-        inv_o = [1.0 / safe(d4[:, a:a + 1]) for a in range(3)]   # (B,1) x3
-        o_c = [o4[:, a:a + 1] for a in range(3)]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, tile), 1)
-
-        def body(i, carry):
-            best_t, code = carry                                  # (B,1)
-            l = wl_ref[0, 0, i]
-            if prune:
-                tn = None
-                tf = None
-                for a in range(3):
-                    t0 = (lb_ref[a, l] - o_c[a]) * inv_o[a]
-                    t1 = (lb_ref[3 + a, l] - o_c[a]) * inv_o[a]
-                    tnn = jnp.minimum(t0, t1)
-                    tff = jnp.maximum(t0, t1)
-                    tn = tnn if tn is None else jnp.maximum(tn, tnn)
-                    tf = tff if tf is None else jnp.minimum(tf, tff)
-                node_hit = (
-                    (tf >= tn) & (tf >= tmin) & (tn < best_t) & alive_c
-                )
-            else:
-                node_hit = alive_c
-
-            def eval_tile(carry):
-                best_t, code = carry
-                ts = lt_ref[0, l]
-                col = pl.multiple_of(3 * ts, 3 * tile)
-                wo = wo_ref[:, pl.ds(col, 3 * tile)]              # (4, 3T)
-                wd = wd_ref[:, pl.ds(col, 3 * tile)]
-                hi = jax.lax.Precision.HIGHEST
-                A = jax.lax.dot_general(
-                    o4, wo, (((1,), (0,)), ((), ())), precision=hi,
-                    preferred_element_type=jnp.float32)           # (B, 3T)
-                Bm = jax.lax.dot_general(
-                    d4, wd, (((1,), (0,)), ((), ())), precision=hi,
-                    preferred_element_type=jnp.float32)
-                num = A[:, :tile]
-                a1 = A[:, tile:2 * tile]
-                a2 = A[:, 2 * tile:]
-                den = Bm[:, :tile]
-                b1 = Bm[:, tile:2 * tile]
-                b2 = Bm[:, 2 * tile:]
-                if backface_cull:
-                    ok = den < -FLT_EPSILON
-                else:
-                    ok = jnp.abs(den) > FLT_EPSILON
-                t = num * (1.0 / jnp.where(ok, den, 1.0))
-                u = a1 + t * b1
-                v = a2 + t * b2
-                hit = (
-                    ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > tmin) & (t < best_t) & node_hit
-                )
-                t_masked = jnp.where(hit, t, BIG)
-                tile_best = jnp.min(t_masked, axis=1, keepdims=True)  # (B,1)
-                improved = tile_best < best_t
-                is_best = hit & (t_masked <= tile_best)
-                win_lane = jnp.min(
-                    jnp.where(is_best, lane, _LANE_MAX), axis=1,
-                    keepdims=True)
-                return (
-                    jnp.where(improved, tile_best, best_t),
-                    jnp.where(improved, ts + win_lane, code),
-                )
-
-            if not prune:
-                return eval_tile(carry)
-            return jax.lax.cond(
-                jnp.any(node_hit), eval_tile, lambda c: c, carry
-            )
-
-        best_t, code = jax.lax.fori_loop(
-            0, count, body,
-            (jnp.full((B, 1), BIG, jnp.float32),
-             jnp.full((B, 1), -1, jnp.int32)),
-        )
-        t_ref[0] = jnp.where(code >= 0, best_t, BIG)
-        code_ref[0] = code
-
-
-def _mxu_weights(trih_geom, tile):
-    """Rearrange Havel rows (12, T) into per-leaf matmul operands.
-
-    Returns (wo (4, 3T), wd (4, 3T)): leaf l occupies columns
-    [3*tile*l, 3*tile*(l+1)) as [num | a1 | a2] / [den | b1 | b2] blocks.
-    """
-    T = trih_geom.shape[1]
-    L = T // tile
-
-    def grp(rows3, bias):
-        return jnp.concatenate([rows3, bias[None, :]], axis=0)  # (4, T)
-
-    zero = jnp.zeros((T,), trih_geom.dtype)
-    o_groups = [
-        grp(-trih_geom[0:3], trih_geom[3]),   # num = dc - o.n
-        grp(trih_geom[4:7], trih_geom[7]),    # a1
-        grp(trih_geom[8:11], trih_geom[11]),  # a2
-    ]
-    d_groups = [
-        grp(trih_geom[0:3], zero),            # den = d.n
-        grp(trih_geom[4:7], zero),            # b1
-        grp(trih_geom[8:11], zero),           # b2
-    ]
-
-    def weave(groups):
-        # (3, 4, L, tile) -> (4, L, 3, tile) -> (4, 3T)
-        g = jnp.stack([x.reshape(4, L, tile) for x in groups], axis=2)
-        return g.reshape(4, 3 * T)
-
-    return weave(o_groups), weave(d_groups)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("tmin", "backface_cull", "tile", "prune", "interpret",
                      "block"),
 )
-def _run_winner(ray_comps, counts, order, entry, leaf_bounds, leaf_tiles,
-                trih, tmin, backface_cull, tile, prune, interpret,
-                block=RAY_BLOCK):
-    ox, oy, oz, dx, dy, dz, alive = ray_comps
+def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
+                leaf_tiles, trih, tmin, backface_cull, tile, prune,
+                interpret, block=RAY_BLOCK):
+    ox, oy, oz, dx, dy, dz, alive, tcap = ray_comps
     n = ox.shape[0]
     n_blocks = n // block
     rows = block // 128
     L = leaf_bounds.shape[1]
-    del entry  # folded into `counts` by build_worklist's trip cap
 
     def rs(a):
         return a.reshape(n_blocks, rows, 128)
@@ -521,61 +441,13 @@ def _run_winner(ray_comps, counts, order, entry, leaf_bounds, leaf_tiles,
                             memory_space=pltpu.SMEM)
     wl_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.SMEM)
-    import os
-
-    # MXU leaf evaluation measured SLOWER than the elementwise VPU chain
-    # on a v5e (60.5 vs 46.5 ms primaries, 515 vs 218 ms shuffled at
-    # block=256): the K=4 dots pay 32x K-padding on the MXU plus
-    # HIGHEST-precision passes, and the (B,1)-column slab/carry ops run at
-    # 1/128 lane utilization. Kept behind the flag for future hardware.
-    use_mxu = os.environ.get("RTNW_WINNER_MXU", "0") == "1"
-    if use_mxu:
-        wo, wd = _mxu_weights(trih, tile)
-        kern = functools.partial(
-            _winner_kernel_mxu, tmin=tmin, backface_cull=backface_cull,
-            tile=tile, prune=prune,
-        )
-        # Column-major ray features (Mosaic cannot lane->sublane cast
-        # in-kernel; XLA builds them for free in the same fusion).
-        o4 = jnp.stack(
-            [ox, oy, oz, jnp.ones_like(ox)], axis=-1
-        ).reshape(n_blocks, block, 4)
-        d4 = jnp.stack(
-            [dx, dy, dz, jnp.zeros_like(dx)], axis=-1
-        ).reshape(n_blocks, block, 4)
-        alive_c = alive.astype(jnp.int32).reshape(n_blocks, block, 1)
-        col_spec = pl.BlockSpec((1, block, 4), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        alive_spec = pl.BlockSpec((1, block, 1), lambda i: (i, 0, 0),
-                                  memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, block, 1), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_t, out_code = pl.pallas_call(
-            kern,
-            grid=(n_blocks,),
-            in_specs=(
-                [cnt_spec, wl_spec, smem_all, smem_all]
-                + [col_spec, col_spec, alive_spec]
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-            ),
-            out_specs=[out_spec, out_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_blocks, block, 1), jnp.float32),
-                jax.ShapeDtypeStruct((n_blocks, block, 1), jnp.int32),
-            ],
-            interpret=interpret,
-        )(
-            counts, order, leaf_bounds, leaf_tiles,
-            o4, d4, alive_c, wo, wd,
-        )
-        return out_t.reshape(n), out_code.reshape(n)
 
     out_t, out_code = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=(
-            [cnt_spec, wl_spec, smem_all, smem_all]
-            + [ray_spec] * 7
+            [cnt_spec, wl_spec, wl_spec, smem_all, smem_all, smem_all]
+            + [ray_spec] * 8
             + [pl.BlockSpec(memory_space=pltpu.VMEM)]
         ),
         out_specs=[ray_spec, ray_spec],
@@ -585,8 +457,8 @@ def _run_winner(ray_comps, counts, order, entry, leaf_bounds, leaf_tiles,
         ],
         interpret=interpret,
     )(
-        counts, order, leaf_bounds, leaf_tiles,
-        rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(alive),
+        counts, order, entry, root_bounds, leaf_bounds, leaf_tiles,
+        rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(alive), rs(tcap),
         trih,
     )
     return out_t.reshape(n), out_code.reshape(n)
@@ -595,10 +467,11 @@ def _run_winner(ray_comps, counts, order, entry, leaf_bounds, leaf_tiles,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def _winner_nodiff(args, tmin, backface_cull, tile, prune, interpret, block):
     """Selection-only winner (zero VJP — recompute shading outside)."""
-    (ray_comps, counts, order, entry, leaf_bounds, leaf_tiles, trih) = args
-    return _run_winner(ray_comps, counts, order, entry, leaf_bounds,
-                       leaf_tiles, trih, tmin, backface_cull, tile, prune,
-                       interpret, block)
+    (ray_comps, counts, order, entry, root_bounds, leaf_bounds,
+     leaf_tiles, trih) = args
+    return _run_winner(ray_comps, counts, order, entry, root_bounds,
+                       leaf_bounds, leaf_tiles, trih, tmin, backface_cull,
+                       tile, prune, interpret, block)
 
 
 def _winner_fwd(args, tmin, backface_cull, tile, prune, interpret, block):
@@ -616,41 +489,54 @@ _winner_nodiff.defvjp(_winner_fwd, _winner_bwd)
 
 def intersect_packed_bvh(rays, packed, tmin=EPSILON,
                          backface_cull: bool = True,
-                         interpret: bool = False, alive=None):
+                         interpret: bool = False, alive=None, t_cap=None):
     """Closest triangle hit through the tile-BVH work-list winner kernel.
 
     Returns (t, code): code < 0 on miss, else TYPE_TRIANGLE << 24 | column
     of the winning triangle in the packed (permuted, padded) order — the
     row index into scene.triangles for the differentiable recompute.
+
+    `t_cap` (N,) optionally carries each ray's closest ANALYTIC hit t
+    (BIG where none): the kernel searches only in front of it, so walls
+    occluding the mesh prune leaf visits per ray. Triangles at t >= t_cap
+    are never reported — identical to the caller's closest-t merge, minus
+    the wasted work.
     """
     assert packed.leaf_bounds is not None, "scene packed without a tile-BVH"
     import os
 
-    # Consensus block size: 256-ray blocks measure ~2x fewer leaf visits
-    # per ray than 1024-ray blocks on the materialball scene (mean listed
-    # leaves 27 vs 50 on primaries, 218 vs 483 ms on a shuffled wavefront)
-    # and won the full-render sweep: 455k vs 332k paths/s on the
-    # cornellbox2+materialball bench. NOTE for sweeps: the value is baked
-    # at trace time — run each setting in a fresh process.
-    block = int(os.environ.get("RTNW_WINNER_BLOCK", "256"))
+    # Consensus block size: smaller blocks have a tighter spatial
+    # footprint, so each ray shares fewer over-included leaves. 128-ray
+    # blocks (one lane group) won the round-4 full-bench sweep: 6527 ms vs
+    # 7225 ms at 256 and ~9.6 s at 1024 on cornellbox2+materialball
+    # 512x512x32spp. NOTE for sweeps: the value is baked at trace time —
+    # run each setting in a fresh process.
+    block = int(os.environ.get("RTNW_WINNER_BLOCK", "128"))
     assert block % 128 == 0
     n = rays.origin.shape[0]
     n_pad = ((n + block - 1) // block) * block
 
-    def pad(a):
-        return jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
+    def pad(a, fill=0.0):
+        return (
+            jnp.pad(a, (0, n_pad - n), constant_values=fill)
+            if n_pad != n else a
+        )
 
     if alive is None:
         alive_i = jnp.ones((n,), jnp.int32)
     else:
         alive_i = alive.astype(jnp.int32)
     sg = jax.lax.stop_gradient
+    if t_cap is None:
+        tcap = jnp.full((n,), BIG, jnp.float32)
+    else:
+        tcap = jnp.minimum(sg(t_cap.astype(jnp.float32)), BIG)
     comps = tuple(
         sg(pad(c)) for c in (
             rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
             rays.direction[:, 0], rays.direction[:, 1], rays.direction[:, 2],
         )
-    ) + (pad(alive_i),)
+    ) + (pad(alive_i), pad(tcap, fill=BIG))
     counts, order, entry = build_worklist(
         *comps[:6], comps[6], sg(packed.leaf_bounds), tmin=float(tmin),
         block=block, interpret=bool(interpret),
@@ -658,11 +544,18 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
     # Geometry rows only (the 8 material rows are resolved outside).
     trih_geom = sg(packed.trih[:12])
 
+    # Root box = union of the leaf boxes, as (6, 1) SMEM scalars for the
+    # kernel's root-exit horizon.
+    lbs = sg(packed.leaf_bounds)
+    root_bounds = jnp.concatenate(
+        [jnp.min(lbs[0:3], axis=1), jnp.max(lbs[3:6], axis=1)]
+    )[:, None]
+
     L = packed.leaf_bounds.shape[1]
     tile = packed.trih.shape[1] // L  # uniform lane-tile width per leaf
     prune = not os.environ.get("RTNW_NO_PRUNE")
     t, code = _winner_nodiff(
-        (comps, counts, order, entry, sg(packed.leaf_bounds),
+        (comps, counts, order, entry, root_bounds, sg(packed.leaf_bounds),
          sg(packed.leaf_tiles), trih_geom),
         float(tmin), bool(backface_cull), int(tile), prune, bool(interpret),
         block,
@@ -671,4 +564,5 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
     return t[:n], code[:n]
 
 
-__all__ = ["build_worklist", "intersect_packed_bvh"]
+__all__ = ["build_worklist", "intersect_packed_bvh",
+           "FRUSTUM_LEAF_THRESHOLD"]

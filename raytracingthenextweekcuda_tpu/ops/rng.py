@@ -115,10 +115,10 @@ def bounce_uniforms(ctx: RayCtx, bounce_idx) -> jnp.ndarray:
     return uniforms4(ctx, jnp.asarray(bounce_idx, jnp.uint32) + jnp.uint32(1))
 
 
-def raygen_uniforms(ctx: RayCtx) -> jnp.ndarray:
-    """(N, 5) uniforms for camera ray generation: pixel jitter (2),
-    lens disk (2), shutter time (1)."""
-    u4 = uniforms4(ctx, RAYGEN_DOMAIN)
+def shutter_uniform(ctx: RayCtx) -> jnp.ndarray:
+    """(N,) shutter-time uniform — raygen slot 4, exposed separately so the
+    sorted wavefront can RECOMPUTE ray time after a sort (a pure function
+    of (pixel, sample key)) instead of carrying it as a sort operand."""
     pid = ctx.pixel_id.astype(jnp.uint32)
     t, _, _, _ = pcg4d(
         pid,
@@ -126,10 +126,18 @@ def raygen_uniforms(ctx: RayCtx) -> jnp.ndarray:
         jnp.broadcast_to(RAYGEN_DOMAIN2, pid.shape),
         jnp.broadcast_to(ctx.base1, pid.shape),
     )
-    return jnp.concatenate([u4, to_uniform(t)[..., None]], axis=-1)
+    return to_uniform(t)
+
+
+def raygen_uniforms(ctx: RayCtx) -> jnp.ndarray:
+    """(N, 5) uniforms for camera ray generation: pixel jitter (2),
+    lens disk (2), shutter time (1)."""
+    u4 = uniforms4(ctx, RAYGEN_DOMAIN)
+    return jnp.concatenate([u4, shutter_uniform(ctx)[..., None]], axis=-1)
 
 
 __all__ = [
     "RayCtx", "key_bases", "pcg4d", "to_uniform", "uniforms4",
-    "bounce_uniforms", "raygen_uniforms", "RAYGEN_DOMAIN", "RAYGEN_DOMAIN2",
+    "bounce_uniforms", "raygen_uniforms", "shutter_uniform",
+    "RAYGEN_DOMAIN", "RAYGEN_DOMAIN2",
 ]

@@ -185,3 +185,116 @@ def test_cornellbox0_vs_reference_committed_render():
     for c in range(3):
         ratio = img10[..., c].mean() / ref64[..., c].mean()
         assert 0.96 < ratio < 1.25, (c, ratio)
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_cornellbox2_pixelwise_vs_oracle_and_reference_golden():
+    """Tight pixelwise radiometry on the NON-degenerate Cornell variant
+    (cornellbox2: 0.75/0.25 colored walls + REAL emissive light), anchored
+    to the reference two ways:
+
+    1. Scene reconstruction follows the reference's RUNTIME semantics:
+       materials come from the 9 pre-created slots (main.cu:643-651 — the
+       YAML's inline defs are ignored by the create-if-null parser, so the
+       "light" plane is Emission 5.0 from slot 8), meshes dropped (the
+       committed CornellBox2.png shows walls + light + metal & glass
+       spheres only).
+    2. PIXELWISE: our render vs the independent NumPy oracle on the SAME
+       config — mean abs diff and per-channel means pinned tight. A +-10%
+       bug in any wall albedo, the light intensity, the metal/glass
+       response or the emission path fails this.
+    3. STRUCTURAL + envelope vs the committed CornellBox2.png itself. Its
+       provenance (spp, bounce depth, sky handling at that commit) is not
+       recoverable, so this tier pins structure (correlation) and a
+       brightness envelope rather than pixels.
+    """
+    import tempfile
+
+    import yaml as yaml_mod
+    from PIL import Image
+
+    from raytracingthenextweekcuda_tpu.io.yaml_scene import load_scene
+
+    ref_png = np.asarray(Image.open(
+        f"{REF}/CornellBox2.png").convert("RGB")).astype(np.float64) / 255.0
+    ref64 = ref_png.reshape(64, 8, 64, 8, 3).mean(axis=(1, 3))
+
+    with open(f"{REF}/resources/scenes/cornellbox2.yaml") as f:
+        doc = yaml_mod.safe_load(f)
+    doc["objects"] = [o for o in doc["objects"] if "mesh" not in o]
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml",
+                                     delete=False) as tmp:
+        yaml_mod.safe_dump(doc, tmp)
+        tmp_path = tmp.name
+    try:
+        scene, camera = load_scene(tmp_path, scene1_materials=True)
+    finally:
+        os.unlink(tmp_path)
+    scene = finalize(scene)
+
+    W = H = 48
+    SPP, BOUNCES = 128, 6
+    cfg = RenderConfig(width=W, height=H, spp=SPP, bounces=BOUNCES,
+                       spp_per_pass=64)
+    f = integrator.render(scene, camera, cfg, key=jax.random.key(0))
+    ours = np.asarray(f.mean, np.float64)  # linear radiance
+
+    # Independent oracle on the same runtime-semantics scene.
+    o = OracleScene()
+    o.material(3, geom.LAMBERTIAN, (1.0, 1.0, 1.0))
+    o.material(4, geom.LAMBERTIAN, (0.75, 0.25, 0.25))
+    o.material(5, geom.LAMBERTIAN, (0.25, 0.25, 0.75))
+    o.material(6, geom.METAL, (1.0, 1.0, 1.0), 0.0)
+    o.material(7, geom.DIELECTRIC, (1.0, 1.0, 1.0), 1.5)
+    o.material(8, geom.EMISSION, (1.0, 1.0, 1.0), 5.0)
+    for entry in doc["objects"]:
+        (kind, obj), = entry.items()
+        mid = int(obj["materialId"])
+        if kind == "sphere":
+            o.sphere(tuple(obj["center"]), float(obj["radius"]), mid)
+        else:
+            o.plane(tuple(obj["position"]), tuple(obj["normal"]),
+                    tuple(obj["extend"]), int(obj["orientation"]), mid,
+                    two_sided=bool(obj["twoSide"]))
+    oracle = render_oracle(o, (0, 0, 1), (0, 0, -1), (0, 1, 0), 60.0,
+                           W, H, SPP, BOUNCES)
+
+    diff = np.abs(ours - oracle)
+    # Pixelwise residual is MC noise: measured 0.059 at 128 spp halving to
+    # 0.030 at 512 spp (1/sqrt scaling); 0.08 bounds it with margin while
+    # any systematic per-pixel bias of that size still fails.
+    assert diff.mean() < 0.08, diff.mean()
+    # Converged means agree to ~0.3% (measured 1.001-1.004); 1.5% is
+    # dozens of sigma for a real radiometric divergence.
+    for c in range(3):
+        ratio = ours[..., c].mean() / oracle[..., c].mean()
+        assert 0.985 < ratio < 1.015, (c, ratio)
+    # Localized radiometry: the colored wall strips and the light region,
+    # per channel — a +-10% albedo/intensity bug in any one of them moves
+    # its own strip by far more than 3%.
+    thirds = W // 3
+    for region, sl in (("left", np.s_[:, :thirds]),
+                       ("right", np.s_[:, -thirds:]),
+                       ("top", np.s_[:H // 4, :])):
+        for c in range(3):
+            r = ours[sl + (c,)].mean() / oracle[sl + (c,)].mean()
+            assert 0.97 < r < 1.03, (region, c, r)
+
+    # Tier 3: the committed golden — an ENVELOPE only. Measured sweeps
+    # show no current-source config reproduces this PNG: with sky the
+    # render is ~4-17% brighter (corr 0.73), without sky ~45% darker
+    # (corr 0.52) — the PNG predates the current material-slot/sky code
+    # (its emission intensity and sky handling are unrecoverable). So
+    # this tier pins only coarse structure (same box, same light/sphere
+    # placement) and a wide brightness envelope; tiers 1-2 above carry
+    # the tight radiometry via the independent oracle.
+    # film.mean is y-up (Canvas flips on write, Canvas.h:141-154); the PNG
+    # is y-down.
+    ours_g = np.sqrt(np.clip(ours, 0.0, 0.999))[::-1]
+    og = ours_g.mean(axis=2).reshape(16, 3, 16, 3).mean(axis=(1, 3)).ravel()
+    rg = ref64.mean(axis=2).reshape(16, 4, 16, 4).mean(axis=(1, 3)).ravel()
+    corr = np.corrcoef(og, rg)[0, 1]
+    assert corr > 0.65, corr
+    for c in range(3):
+        ratio = ours_g[..., c].mean() / ref64[..., c].mean()
+        assert 0.85 < ratio < 1.30, (c, ratio)

@@ -7,6 +7,8 @@ PNG with timing. Subcommands:
     rtnw render --preset cornell --width 512 --height 512
     rtnw bench  [--width 512 --height 512 --spp 128]
     rtnw fit    --steps 60       (inverse-rendering demo, BASELINE config 5)
+    rtnw live   --preset cornell (interactive progressive preview: terminal
+                                  or HTTP view, WASDQE/orbit camera)
 
 (The realtime OpenGL/ImGui frontend maps to `rtnw render --progressive`,
 which re-renders progressively and rewrites the output each pass — the
@@ -160,6 +162,45 @@ def cmd_fit(args) -> int:
     return run_fit(steps=args.steps, out=args.out)
 
 
+def cmd_live(args) -> int:
+    """Live progressive preview: the realtime-frontend analogue with an
+    actual display loop (terminal half-block or HTTP auto-refresh view)
+    and the reference's WASDQE/orbit/FOV controls + dirty-reset
+    (OpenGLFrontend.cpp:538-612 + main.cu:875-888)."""
+    from raytracingthenextweekcuda_tpu.apps.interactive import (
+        InteractiveSession,
+    )
+    from raytracingthenextweekcuda_tpu.apps.viewer import (
+        HTTPViewer,
+        TerminalViewer,
+        run_live,
+    )
+    from raytracingthenextweekcuda_tpu.config import RenderConfig
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
+
+    scene, camera = _build_scene(args)
+    scene = finalize(scene)
+    cfg = RenderConfig(width=args.width, height=args.height, spp=1,
+                       bounces=args.bounces)
+    session = InteractiveSession(scene, camera, cfg,
+                                 spp_per_frame=args.spp_per_frame)
+    if args.view == "http":
+        viewer = HTTPViewer(port=args.port)
+        print(f"serving live view on http://127.0.0.1:{viewer.port}/",
+              file=sys.stderr)
+    else:
+        viewer = TerminalViewer()
+    commands = args.script.split() if args.script else None
+    print("controls: w/s walk a/d strafe q/e raise j/l yaw i/k pitch "
+          "o orbit [/] fov enter=screenshot . idle x quit",
+          file=sys.stderr)
+    shots = run_live(session, commands=commands, viewer=viewer,
+                     frames_per_command=args.frames_per_command)
+    for s in shots:
+        print(f"screenshot -> {s}", file=sys.stderr)
+    return 0
+
+
 def _apply_platform(platform: str | None) -> None:
     """Select the JAX backend. Some environments pin JAX_PLATFORMS via
     sitecustomize before user code runs, so an env var is not enough — we
@@ -216,6 +257,24 @@ def main(argv=None) -> int:
     pf.add_argument("--steps", type=int, default=60)
     pf.add_argument("--out", default="fit.png")
     pf.set_defaults(fn=cmd_fit)
+
+    pl = sub.add_parser(
+        "live", help="live progressive preview with interactive camera"
+    )
+    pl.add_argument("--scene", help="YAML scene file (reference schema)")
+    pl.add_argument("--preset", help="built-in scene preset")
+    pl.add_argument("--width", type=int, default=256)
+    pl.add_argument("--height", type=int, default=256)
+    pl.add_argument("--bounces", type=int, default=5)
+    pl.add_argument("--spp-per-frame", type=int, default=1,
+                    help="samples accumulated per frame (main.cu:883)")
+    pl.add_argument("--frames-per-command", type=int, default=2)
+    pl.add_argument("--view", choices=("terminal", "http"),
+                    default="terminal")
+    pl.add_argument("--port", type=int, default=8000)
+    pl.add_argument("--script", help="space-separated command script "
+                    "(headless demo); default reads stdin")
+    pl.set_defaults(fn=cmd_live)
 
     args = p.parse_args(argv)
     _apply_platform(args.platform)

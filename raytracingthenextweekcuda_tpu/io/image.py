@@ -22,19 +22,26 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 array (row 0 = top) as a PNG file."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array (row 0 = top) as PNG bytes."""
     image = np.ascontiguousarray(image, dtype=np.uint8)
     h, w, c = image.shape
-    assert c == 3, "write_png expects RGB"
+    assert c == 3, "png_bytes expects RGB"
     header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
     # Filter byte 0 (None) per scanline.
     raw = b"".join(b"\x00" + image[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", header)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 array (row 0 = top) as a PNG file."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_png_chunk(b"IHDR", header))
-        f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_png_chunk(b"IEND", b""))
+        f.write(png_bytes(image))
 
 
 def read_png(path: str) -> np.ndarray:

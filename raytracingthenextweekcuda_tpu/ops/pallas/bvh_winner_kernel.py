@@ -180,14 +180,19 @@ def _winner_kernel(
     cnt_ref, wl_ref, entry_ref, root_ref, lb_ref, lt_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref, tcap_ref,
     trih_ref,
-    t_ref, code_ref,
-    *, tmin: float, backface_cull: bool, tile: int, prune: bool,
+    t_ref, code_ref, *maybe_stats,
+    tmin: float, backface_cull: bool, tile: int, prune: bool,
 ):
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     alive = alive_ref[0] != 0
     shape = ox.shape  # (ROWS, 128)
     count = cnt_ref[0, 0, 0]
+    # Optional profiling output: [walked leaves, evaluated leaves].
+    stats_ref = maybe_stats[0] if maybe_stats else None
+    if stats_ref is not None:
+        stats_ref[0, 0] = 0
+        stats_ref[0, 1] = 0
 
     t_ref[0] = jnp.full(shape, BIG, jnp.float32)
     code_ref[0] = jnp.full(shape, -1, jnp.int32)
@@ -304,11 +309,19 @@ def _winner_kernel(
                     horizon(best_t),
                 )
 
+            if stats_ref is not None:
+                stats_ref[0, 0] = stats_ref[0, 0] + 1
+
+            def eval_and_count(c):
+                if stats_ref is not None:
+                    stats_ref[0, 1] = stats_ref[0, 1] + 1
+                return eval_tile(c)
+
             if not prune:
-                bt, cd, tmax = eval_tile((best_t, code, tmax))
+                bt, cd, tmax = eval_and_count((best_t, code, tmax))
             else:
                 bt, cd, tmax = jax.lax.cond(
-                    jnp.any(node_hit), eval_tile, lambda c: c,
+                    jnp.any(node_hit), eval_and_count, lambda c: c,
                     (best_t, code, tmax),
                 )
             return (i + 1, bt, cd, tmax)
@@ -415,11 +428,11 @@ def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
 @functools.partial(
     jax.jit,
     static_argnames=("tmin", "backface_cull", "tile", "prune", "interpret",
-                     "block"),
+                     "block", "stats"),
 )
 def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
                 leaf_tiles, trih, tmin, backface_cull, tile, prune,
-                interpret, block=RAY_BLOCK):
+                interpret, block=RAY_BLOCK, stats=False):
     ox, oy, oz, dx, dy, dz, alive, tcap = ray_comps
     n = ox.shape[0]
     n_blocks = n // block
@@ -442,7 +455,17 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
     wl_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.SMEM)
 
-    out_t, out_code = pl.pallas_call(
+    out_specs = [ray_spec, ray_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.int32),
+    ]
+    if stats:  # profiling: per-block [walked, evaluated] leaf counters
+        out_specs.append(pl.BlockSpec((1, 2), lambda i: (i, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 2), jnp.int32))
+
+    out = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=(
@@ -450,18 +473,17 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
             + [ray_spec] * 8
             + [pl.BlockSpec(memory_space=pltpu.VMEM)]
         ),
-        out_specs=[ray_spec, ray_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         counts, order, entry, root_bounds, leaf_bounds, leaf_tiles,
         rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(alive), rs(tcap),
         trih,
     )
-    return out_t.reshape(n), out_code.reshape(n)
+    if stats:
+        return out[0].reshape(n), out[1].reshape(n), out[2]
+    return out[0].reshape(n), out[1].reshape(n)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
@@ -489,7 +511,8 @@ _winner_nodiff.defvjp(_winner_fwd, _winner_bwd)
 
 def intersect_packed_bvh(rays, packed, tmin=EPSILON,
                          backface_cull: bool = True,
-                         interpret: bool = False, alive=None, t_cap=None):
+                         interpret: bool = False, alive=None, t_cap=None,
+                         stats: bool = False):
     """Closest triangle hit through the tile-BVH work-list winner kernel.
 
     Returns (t, code): code < 0 on miss, else TYPE_TRIANGLE << 24 | column
@@ -554,6 +577,15 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
     L = packed.leaf_bounds.shape[1]
     tile = packed.trih.shape[1] // L  # uniform lane-tile width per leaf
     prune = not os.environ.get("RTNW_NO_PRUNE")
+    if stats:  # profiling path: also return per-block [walked, evaluated]
+        t, code, st = _run_winner(
+            comps, counts, order, entry, root_bounds, sg(packed.leaf_bounds),
+            sg(packed.leaf_tiles), trih_geom, float(tmin),
+            bool(backface_cull), int(tile), prune, bool(interpret), block,
+            stats=True,
+        )
+        code = jnp.where(code >= 0, (TYPE_TRIANGLE << 24) | code, -1)
+        return t[:n], code[:n], (counts.ravel(), st)
     t, code = _winner_nodiff(
         (comps, counts, order, entry, root_bounds, sg(packed.leaf_bounds),
          sg(packed.leaf_tiles), trih_geom),

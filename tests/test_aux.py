@@ -113,3 +113,74 @@ def test_interactive_orbit_preserves_distance():
         s.orbit(target, 0.1)
     d1 = np.linalg.norm(np.asarray(s.camera.eye)[[0, 2]] - np.asarray(target)[[0, 2]])
     np.testing.assert_allclose(d0, d1, rtol=1e-5)
+
+
+def test_terminal_viewer_frame_and_live_loop(tmp_path):
+    """The live preview (L8 realtime display analogue): a scripted session
+    drives camera moves through run_live; the terminal frames contain ANSI
+    truecolor cells, and a camera move resets the accumulation to
+    spp_per_frame on the next frame (main.cu:877-881 dirty protocol)."""
+    import numpy as np
+
+    from raytracingthenextweekcuda_tpu.apps.interactive import (
+        InteractiveSession,
+    )
+    from raytracingthenextweekcuda_tpu.apps.viewer import (
+        TerminalViewer,
+        run_live,
+    )
+    from raytracingthenextweekcuda_tpu.config import RenderConfig
+    from raytracingthenextweekcuda_tpu.models import presets
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
+
+    scene, camera = presets.diffuse_sphere_plane()
+    scene = finalize(scene)
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=3)
+    session = InteractiveSession(scene, camera, cfg, spp_per_frame=1)
+
+    import io
+
+    out = io.StringIO()
+    viewer = TerminalViewer(cols=16, rows=8, stream=out)
+    # 2 idle frames, a walk (dirty -> reset), 2 more frames, screenshot.
+    shots = run_live(session, commands=["w", "enter", "x"], viewer=viewer,
+                     frames_per_command=2, out_dir=str(tmp_path))
+    text = out.getvalue()
+    assert "\x1b[38;2;" in text and "▀" in text  # truecolor half-blocks
+    # After the walk's dirty reset + 2 frames + screenshot idle frames:
+    # accumulation restarted (2 frames after move + 2 after screenshot).
+    assert session.sample_count == 4
+    # Screenshot was taken right after the walk's reset + 2 frames (spp 2),
+    # proving the dirty protocol: without the reset it would read spp 4.
+    assert len(shots) == 1 and shots[0].endswith("_spp2.png")
+
+    # Frame text is well-formed for an arbitrary image.
+    img = (np.random.default_rng(0).random((40, 50, 3)) * 255).astype(
+        np.uint8
+    )
+    t = viewer.frame_text(img, status="ok")
+    assert t.count("\n") == 8  # rows + status line
+
+
+def test_http_viewer_serves_frames():
+    import urllib.request
+
+    import numpy as np
+
+    from raytracingthenextweekcuda_tpu.apps.viewer import HTTPViewer
+
+    v = HTTPViewer(port=0)
+    try:
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[:, :, 1] = 200
+        v.show(img)
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{v.port}/", timeout=5
+        ).read()
+        assert b"frame.png" in page
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{v.port}/frame.png", timeout=5
+        ).read()
+        assert png.startswith(b"\x89PNG")
+    finally:
+        v.close()

@@ -174,6 +174,11 @@ def main():
                                     alive=alive)
 
     @jax.jit
+    def do_winner_stats(rays_b, alive):
+        return intersect_packed_bvh(rays_b, packed, cfg.tmin, True, False,
+                                    alive=alive, stats=True)
+
+    @jax.jit
     def do_analytic(rays_b, alive):
         return intersect_packed(rays_b, packed, cfg.tmin, True, False,
                                 alive=alive, include_triangles=False)
@@ -203,6 +208,9 @@ def main():
         total["worklist"] += dt_wl
         dt_w, _ = timeit(lambda: do_winner(state[0], am))
         total["winner"] += dt_w
+        _, _, (cnts, st) = do_winner_stats(state[0], am)
+        st = np.asarray(st)
+        walked, evaled = st[:, 0], st[:, 1]
         dt_a, _ = timeit(lambda: do_analytic(state[0], state[3]))
         total["analytic"] += dt_a
         step = make_bounce(bounce)
@@ -211,8 +219,8 @@ def main():
         nz = counts[counts > 0]
         line += (f"  wl {dt_wl*1e3:6.1f}  win {dt_w*1e3:7.1f}"
                  f"  ana {dt_a*1e3:6.1f}  bounce {dt_b*1e3:7.1f}"
-                 f"  leaves/blk mean {nz.mean() if len(nz) else 0:5.1f}"
-                 f" p95 {np.percentile(nz, 95) if len(nz) else 0:5.0f}"
+                 f"  listed {nz.mean() if len(nz) else 0:5.1f}"
+                 f" walked {walked.mean():5.1f} evaled {evaled.mean():5.1f}"
                  f" nzblk {len(nz)}/{len(counts)}")
         print(line, flush=True)
         state = new_state

@@ -85,6 +85,10 @@ def run_bench(
         result["mesh_bvh"] = run_mesh_bench()
     except Exception as e:  # secondary metric must never sink the headline
         result["mesh_bvh"] = {"error": str(e)[:200]}
+    try:
+        result["mesh_stress"] = run_mesh_stress()
+    except Exception as e:
+        result["mesh_stress"] = {"error": str(e)[:200]}
     return result
 
 
@@ -116,23 +120,8 @@ def _vpu_utilization(scene, paths: int, bounces: int, dt: float):
 _REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"
 
 
-def run_mesh_bench(
-    width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
-    spp_per_pass: int = 16, sort_stride: int = 1,
-) -> dict:
-    """Secondary metric: BASELINE config 4 on the reference's OWN assets.
-
-    The exact scene the reference's published numbers time: cornellbox2.yaml
-    (5 walls + area light + metal/glass spheres + two rotated cube meshes,
-    main.cu:629) PLUS materialball.ply — 46,816 triangles, COAT, normalized
-    and offset (0.1, 0, -1) exactly as prepareCUDAscene does
-    (main.cu:428-432) — at the published config: 512x512, 32 spp,
-    <=10 bounces = 3857.460 ms on the reference GPU (images/images.MD:44-53,
-    ~2.17 M paths/s). Rendered through the tile-BVH work-list winner path.
-
-    Falls back to a 16k-tri procedural stand-in when /root/reference is not
-    mounted (CI), and says so in the "asset" field.
-    """
+def _time_mesh_scene(scene, camera, width, height, spp, bounces,
+                     spp_per_pass, sort_stride, tris, asset):
     import time
 
     import jax
@@ -140,31 +129,10 @@ def run_mesh_bench(
     import numpy as np
 
     from raytracingthenextweekcuda_tpu.config import RenderConfig
-    from raytracingthenextweekcuda_tpu.models import integrator, presets
+    from raytracingthenextweekcuda_tpu.models import integrator
     from raytracingthenextweekcuda_tpu.models.scene import finalize
 
-    scene_yaml = f"{_REF_RES}/scenes/cornellbox2.yaml"
-    ball_ply = f"{_REF_RES}/models/materialball/materialball.ply"
-    if os.path.exists(scene_yaml) and os.path.exists(ball_ply):
-        from raytracingthenextweekcuda_tpu.io.ply import load_ply
-        from raytracingthenextweekcuda_tpu.io.yaml_scene import (
-            load_scene_builder,
-        )
-
-        builder, camera = load_scene_builder(scene_yaml)
-        tris_arr = load_ply(ball_ply, offset=(0.1, 0.0, -1.0))
-        # COAT: Path B's clear-coat diffuse (CUDAPathTracer.cu:522-563);
-        # specular layer is hard-coded white there, diffuse color rides the
-        # triangle — materialball ships uncolored, so 0.9 grey.
-        builder.coat(20, (0.9, 0.9, 0.9))
-        builder.mesh(tris_arr, 20)
-        scene = builder.build()
-        asset = "cornellbox2.yaml + materialball.ply"
-    else:
-        scene, camera = presets.mesh_showcase(n_lat=64, n_lon=128)
-        asset = "procedural uv-sphere stand-in (reference not mounted)"
-    tris = int(scene.triangles.count)
-    scene = finalize(scene)  # > threshold -> tile-BVH winner-kernel path
+    scene = finalize(scene, use_bvh=True)  # tile-BVH winner-kernel path
 
     cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces,
                        spp_per_pass=spp_per_pass, sort_stride=sort_stride)
@@ -188,3 +156,121 @@ def run_mesh_bench(
         "config": {"width": width, "height": height, "spp": spp,
                    "bounces": bounces},
     }
+
+
+def run_mesh_bench(
+    width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
+    spp_per_pass: int = 16, sort_stride: int = 1,
+) -> dict:
+    """Mesh metric 1: the reference's PUBLISHED mesh benchmark, faithfully.
+
+    Asset archaeology — the 3857.460 ms row (images/images.MD:44-53) is
+    routinely misread as the materialball BVH scene; it is not:
+
+      * every optimization stage in the log — per-triangle AABB cull,
+        texture memory, precomputed v0/E1/E2, backface cull — is a
+        feature of the BRUTE-FORCE Path-A mesh loop
+        (TriangleMesh.cu:34-117), not of the BVH traversal;
+      * the timed renders show the ~967-triangle suzanne statue
+        (resources/models/suzanne/suzanne0.ply, "element face 967") in a
+        Cornell box with the metal/glass sphere pair — materialball never
+        appears in images/;
+      * the rows say "Bounces 10", which is Path A's BOUNCES=10
+        (main.cu:23); the later Path-B/BVH kernel caps at maxDepth=5
+        (main.cu:172) and has NO published timing.
+
+    So the published 2.17 M paths/s is: Cornell walls + area light +
+    metal & glass spheres + a ~967-tri mesh, 512x512, 32 spp, 10 bounces.
+    This bench reproduces that workload class — cornellbox2.yaml under the
+    reference's RUNTIME material semantics (pre-created slots 0-8,
+    main.cu:643-651: emissive light intensity 5, white-metal + glass
+    spheres; the render-era images show no cube meshes, so those are
+    dropped) plus suzanne0.ply normalized into the box (exact placement
+    is unrecorded in the reference; loadModel suzanne lines are commented
+    out, main.cu:670) — rendered through our tile-BVH winner path.
+
+    Falls back to a procedural stand-in when /root/reference is missing.
+    """
+    from raytracingthenextweekcuda_tpu.models import presets
+
+    scene_yaml = f"{_REF_RES}/scenes/cornellbox2.yaml"
+    suz_ply = f"{_REF_RES}/models/suzanne/suzanne0.ply"
+    if os.path.exists(scene_yaml) and os.path.exists(suz_ply):
+        import tempfile
+
+        import yaml as yaml_mod
+
+        from raytracingthenextweekcuda_tpu.io.ply import load_ply
+        from raytracingthenextweekcuda_tpu.io.yaml_scene import (
+            load_scene_builder,
+            register_scene1_materials,
+        )
+
+        with open(scene_yaml) as f:
+            doc = yaml_mod.safe_load(f)
+        doc["objects"] = [o for o in doc["objects"] if "mesh" not in o]
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".yaml", delete=False
+        ) as tmp:
+            yaml_mod.safe_dump(doc, tmp)
+            tmp_path = tmp.name
+        try:
+            builder, camera = load_scene_builder(
+                tmp_path, scene1_materials=True
+            )
+        finally:
+            os.unlink(tmp_path)
+        # Statue on the floor, mid-box; white lambertian = materials[3]
+        # (createMesh binds materials[3] regardless of YAML, main.cu:781).
+        tris_arr = load_ply(suz_ply, offset=(0.0, -0.29, -0.18),
+                            max_coord=0.35)  # statue based on the floor
+        builder.mesh(tris_arr, 3)
+        scene = builder.build()
+        asset = "cornellbox2 walls/spheres + suzanne0.ply (published bench)"
+    else:
+        scene, camera = presets.mesh_showcase(n_lat=16, n_lon=32)
+        asset = "procedural stand-in (reference not mounted)"
+    tris = int(scene.triangles.count)
+    return _time_mesh_scene(scene, camera, width, height, spp, bounces,
+                            spp_per_pass, sort_stride, tris, asset)
+
+
+def run_mesh_stress(
+    width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
+    spp_per_pass: int = 16, sort_stride: int = 1,
+) -> dict:
+    """Mesh metric 2: heavyweight stress — 48x the published mesh size.
+
+    cornellbox2.yaml (incl. its two cube meshes) + materialball.ply
+    (46,816 tris, COAT, offset (0.1, 0, -1) as prepareCUDAscene loads it
+    today, main.cu:428-432) at the same 512x512 x 32 spp x 10 bounces.
+    The reference never published a timing for this composition (its BVH
+    kernel caps at 5 bounces and the log predates materialball), so
+    `vs_baseline` here compares a 48x-larger mesh workload against the
+    967-tri published number — context, not parity.
+    """
+    from raytracingthenextweekcuda_tpu.models import presets
+
+    scene_yaml = f"{_REF_RES}/scenes/cornellbox2.yaml"
+    ball_ply = f"{_REF_RES}/models/materialball/materialball.ply"
+    if os.path.exists(scene_yaml) and os.path.exists(ball_ply):
+        from raytracingthenextweekcuda_tpu.io.ply import load_ply
+        from raytracingthenextweekcuda_tpu.io.yaml_scene import (
+            load_scene_builder,
+        )
+
+        builder, camera = load_scene_builder(scene_yaml)
+        tris_arr = load_ply(ball_ply, offset=(0.1, 0.0, -1.0))
+        # COAT: Path B's clear-coat diffuse (CUDAPathTracer.cu:522-563);
+        # specular layer is hard-coded white there, diffuse color rides the
+        # triangle — materialball ships uncolored, so 0.9 grey.
+        builder.coat(20, (0.9, 0.9, 0.9))
+        builder.mesh(tris_arr, 20)
+        scene = builder.build()
+        asset = "cornellbox2.yaml + materialball.ply (48x published size)"
+    else:
+        scene, camera = presets.mesh_showcase(n_lat=64, n_lon=128)
+        asset = "procedural uv-sphere stand-in (reference not mounted)"
+    tris = int(scene.triangles.count)
+    return _time_mesh_scene(scene, camera, width, height, spp, bounces,
+                            spp_per_pass, sort_stride, tris, asset)

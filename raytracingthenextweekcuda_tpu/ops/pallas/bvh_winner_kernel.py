@@ -75,11 +75,22 @@ _WL_CHUNK_BLOCKS = 128
 FRUSTUM_LEAF_THRESHOLD = 2048
 
 
+def use_frustum_worklist(n_leaves: int) -> bool:
+    """Resolve the work-list builder choice for a leaf count: the exact
+    per-ray pass is O(rays x leaves) — above FRUSTUM_LEAF_THRESHOLD the
+    conservative packet-frustum pass (O(blocks x leaves)) takes over.
+    RTNW_WL_FRUSTUM=1/0 forces it on/off."""
+    import os
+
+    env = os.environ.get("RTNW_WL_FRUSTUM", "")
+    return env == "1" or (env != "0" and n_leaves > FRUSTUM_LEAF_THRESHOLD)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tmin", "block", "interpret")
+    jax.jit, static_argnames=("tmin", "block", "interpret", "frustum")
 )
 def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
-                   block=RAY_BLOCK, interpret=False):
+                   block=RAY_BLOCK, interpret=False, frustum=False):
     """Per-block front-to-back leaf work lists (pure XLA).
 
     ox..dz, alive: (N,) planar rays, N a `block` multiple (pre-padded).
@@ -96,9 +107,12 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
     SLOWER than this fused XLA pass — the per-op (Lpad,1)x(1,128)
     broadcast relayouts cost more than XLA's HBM temps.)
 
-    Above FRUSTUM_LEAF_THRESHOLD leaves the exact O(rays x leaves) pass is
-    replaced by the conservative packet-frustum pass (O(blocks x leaves),
-    see _build_worklist_frustum); RTNW_WL_FRUSTUM=1/0 forces it on/off.
+    `frustum=True` selects the conservative packet-frustum pass
+    (_build_worklist_frustum): O(blocks x leaves) build instead of
+    O(rays x leaves), lists are supersets of the exact hit union, and the
+    winner kernel's per-ray slab prune rejects the extras — the final
+    image is identical. Callers resolve the choice with
+    use_frustum_worklist(n_leaves).
     """
     n = ox.shape[0]
     n_blocks = n // block
@@ -113,14 +127,7 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
             jnp.abs(d) < eps, jnp.where(d >= 0.0, eps, -eps), d
         )
 
-    import os
-
-    frustum_env = os.environ.get("RTNW_WL_FRUSTUM", "")
-    use_frustum = (
-        frustum_env == "1"
-        or (frustum_env != "0" and L > FRUSTUM_LEAF_THRESHOLD)
-    )
-    if use_frustum:
+    if frustum:
         return _build_worklist_frustum(
             ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin, block)
 
@@ -191,8 +198,8 @@ def _winner_kernel(
     # Optional profiling output: [walked leaves, evaluated leaves].
     stats_ref = maybe_stats[0] if maybe_stats else None
     if stats_ref is not None:
-        stats_ref[0, 0] = 0
-        stats_ref[0, 1] = 0
+        stats_ref[0, 0, 0] = 0
+        stats_ref[0, 0, 1] = 0
 
     t_ref[0] = jnp.full(shape, BIG, jnp.float32)
     code_ref[0] = jnp.full(shape, -1, jnp.int32)
@@ -310,16 +317,21 @@ def _winner_kernel(
                 )
 
             if stats_ref is not None:
-                stats_ref[0, 0] = stats_ref[0, 0] + 1
+                stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
 
             def eval_and_count(c):
                 if stats_ref is not None:
-                    stats_ref[0, 1] = stats_ref[0, 1] + 1
+                    stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
                 return eval_tile(c)
 
             if not prune:
                 bt, cd, tmax = eval_and_count((best_t, code, tmax))
             else:
+                # The per-leaf cond is a measured WIN: evaluating every
+                # walked leaf unconditionally (no cond, no slab gate)
+                # benched 9803 ms vs 6527 ms on the materialball scene —
+                # a 128x128 Havel tile eval costs ~3x the cond+slab gate,
+                # and only ~1/3 of walked leaves can improve any ray.
                 bt, cd, tmax = jax.lax.cond(
                     jnp.any(node_hit), eval_and_count, lambda c: c,
                     (best_t, code, tmax),
@@ -461,9 +473,9 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
         jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.int32),
     ]
     if stats:  # profiling: per-block [walked, evaluated] leaf counters
-        out_specs.append(pl.BlockSpec((1, 2), lambda i: (i, 0),
+        out_specs.append(pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                                       memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 2), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 1, 2), jnp.int32))
 
     out = pl.pallas_call(
         kern,
@@ -482,7 +494,7 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
         trih,
     )
     if stats:
-        return out[0].reshape(n), out[1].reshape(n), out[2]
+        return out[0].reshape(n), out[1].reshape(n), out[2][:, 0, :]
     return out[0].reshape(n), out[1].reshape(n)
 
 
@@ -563,6 +575,7 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
     counts, order, entry = build_worklist(
         *comps[:6], comps[6], sg(packed.leaf_bounds), tmin=float(tmin),
         block=block, interpret=bool(interpret),
+        frustum=use_frustum_worklist(packed.leaf_bounds.shape[1]),
     )
     # Geometry rows only (the 8 material rows are resolved outside).
     trih_geom = sg(packed.trih[:12])
@@ -597,4 +610,4 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
 
 
 __all__ = ["build_worklist", "intersect_packed_bvh",
-           "FRUSTUM_LEAF_THRESHOLD"]
+           "use_frustum_worklist", "FRUSTUM_LEAF_THRESHOLD"]

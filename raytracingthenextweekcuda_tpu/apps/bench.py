@@ -76,6 +76,21 @@ def run_bench(
         "vs_baseline": round(paths_per_sec / REFERENCE_PATHS_PER_SEC, 3),
         "render_ms": round(dt * 1000, 2),
         "vpu_util": _vpu_utilization(scene, paths, bounces, dt),
+        # Measured with jax.profiler (tools/trace_headline.py, v5e,
+        # 2026-08-21): the whole render is ONE fused Mosaic megakernel
+        # (_run_render) at 208.06 ms DEVICE time (= 161 M paths/s
+        # device-side); the wall-clock adds a fixed ~35 ms relay
+        # dispatch+sync round trip (measured via repeated scalar
+        # readbacks). Inside the megakernel there is no XLA-visible
+        # structure to profile further; the hand-rolled op model above is
+        # the only op-level estimate. The ceiling is VPU-elementwise work
+        # (a path tracer has no matmuls for the MXU), ~25% branchless
+        # select/mask overhead, and dead-lane waste elided only at block
+        # granularity.
+        "vpu_util_note": (
+            "trace: one fused megakernel, 208 ms device of ~240 ms wall; "
+            "~35 ms is relay round-trip; see tools/trace_headline.py"
+        ),
         "config": {
             "width": width, "height": height, "spp": spp, "bounces": bounces,
             "device": str(jax.devices()[0]),
@@ -121,7 +136,8 @@ _REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"
 
 
 def _time_mesh_scene(scene, camera, width, height, spp, bounces,
-                     spp_per_pass, sort_stride, tris, asset):
+                     spp_per_pass, sort_stride, tris, asset,
+                     sort_rays=True):
     import time
 
     import jax
@@ -135,7 +151,8 @@ def _time_mesh_scene(scene, camera, width, height, spp, bounces,
     scene = finalize(scene, use_bvh=True)  # tile-BVH winner-kernel path
 
     cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces,
-                       spp_per_pass=spp_per_pass, sort_stride=sort_stride)
+                       spp_per_pass=spp_per_pass, sort_stride=sort_stride,
+                       sort_rays=sort_rays)
 
     def sync(x):
         np.asarray(jnp.sum(x))
@@ -160,7 +177,7 @@ def _time_mesh_scene(scene, camera, width, height, spp, bounces,
 
 def run_mesh_bench(
     width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
-    spp_per_pass: int = 16, sort_stride: int = 1,
+    spp_per_pass: int = 16, sort_stride: int = 1, sort_rays: bool = True,
 ) -> dict:
     """Mesh metric 1: the reference's PUBLISHED mesh benchmark, faithfully.
 
@@ -232,12 +249,13 @@ def run_mesh_bench(
         asset = "procedural stand-in (reference not mounted)"
     tris = int(scene.triangles.count)
     return _time_mesh_scene(scene, camera, width, height, spp, bounces,
-                            spp_per_pass, sort_stride, tris, asset)
+                            spp_per_pass, sort_stride, tris, asset,
+                            sort_rays=sort_rays)
 
 
 def run_mesh_stress(
     width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
-    spp_per_pass: int = 16, sort_stride: int = 1,
+    spp_per_pass: int = 16, sort_stride: int = 1, sort_rays: bool = True,
 ) -> dict:
     """Mesh metric 2: heavyweight stress — 48x the published mesh size.
 
@@ -273,4 +291,5 @@ def run_mesh_stress(
         asset = "procedural uv-sphere stand-in (reference not mounted)"
     tris = int(scene.triangles.count)
     return _time_mesh_scene(scene, camera, width, height, spp, bounces,
-                            spp_per_pass, sort_stride, tris, asset)
+                            spp_per_pass, sort_stride, tris, asset,
+                            sort_rays=sort_rays)

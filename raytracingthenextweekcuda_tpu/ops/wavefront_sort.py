@@ -78,6 +78,20 @@ def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
         | ((dy < 0.0).astype(jnp.int32) << 1)
         | (dz < 0.0).astype(jnp.int32)
     )
+    import os
+
+    extra_dir = int(os.environ.get("RTNW_KEY_DIRBITS", "0"))
+    if extra_dir:
+        # Experimental: refine each octant by quantizing |direction|
+        # components (1-2 extra bits per axis ahead of the position
+        # morton). Trades positional block coherence for directional.
+        for axis_d in (dx, dy, dz):
+            q = jnp.clip(
+                (jnp.abs(axis_d) * (1 << extra_dir)).astype(jnp.int32),
+                0, (1 << extra_dir) - 1,
+            )
+            octant = (octant << extra_dir) | q
+        m = m >> (3 * extra_dir)
     eps = 1e-20
     rtn = None
     rtf = None
@@ -92,7 +106,7 @@ def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
         rtn = tnn if rtn is None else jnp.maximum(rtn, tnn)
         rtf = tff if rtf is None else jnp.minimum(rtf, tff)
     miss_root = ((rtf < rtn) | (rtf < 0.0)).astype(jnp.int32)
-    key = (miss_root << 30) | (octant << 27) | m
+    key = (miss_root << 30) | (octant << (27 - 3 * extra_dir)) | m
     # A root-missing all-negative-octant ray clip-quantized to 511 on all
     # axes would hit exactly DEAD_KEY; clamp so live keys stay strictly
     # below the sentinel (consumers reconstruct alive as key != DEAD_KEY).

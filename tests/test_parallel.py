@@ -200,3 +200,22 @@ def test_measure_scaling_virtual_mesh():
                             spp=2, verbose=False)
     assert set(rates) == {1, 2}
     assert all(r > 0 for r in rates.values())
+
+
+def test_measure_scaling_mesh_scene():
+    """The scaling harness also runs the PRODUCTION mesh path (tile-BVH
+    winner kernel under shard_map) — the scaling story covers the mesh
+    engine, not just the analytic preset."""
+    import dataclasses
+
+    from raytracingthenextweekcuda_tpu.parallel.multihost import (
+        measure_scaling,
+    )
+
+    scene, camera = _tile_bvh_mesh_scene()
+    cfg = dataclasses.replace(CFG, width=32, height=32, bounces=3)
+    assert integrator._sorted_eligible(scene, cfg)
+    rates = measure_scaling(scene, camera, cfg, device_counts=[1, 2],
+                            spp=2, verbose=False)
+    assert set(rates) == {1, 2}
+    assert all(r > 0 for r in rates.values())

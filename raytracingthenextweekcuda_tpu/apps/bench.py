@@ -104,6 +104,10 @@ def run_bench(
         result["mesh_stress"] = run_mesh_stress()
     except Exception as e:
         result["mesh_stress"] = {"error": str(e)[:200]}
+    try:
+        result["mesh_large"] = run_mesh_large()
+    except Exception as e:
+        result["mesh_large"] = {"error": str(e)[:200]}
     return result
 
 
@@ -210,46 +214,14 @@ def run_mesh_bench(
     out, main.cu:670) — rendered through our tile-BVH winner path.
 
     Falls back to a procedural stand-in when /root/reference is missing.
+    Scene construction lives in apps/bench_scenes.published_mesh_scene so
+    tests (the suzanne-golden crossval) bench the EXACT benched scene.
     """
-    from raytracingthenextweekcuda_tpu.models import presets
+    from raytracingthenextweekcuda_tpu.apps.bench_scenes import (
+        published_mesh_scene,
+    )
 
-    scene_yaml = f"{_REF_RES}/scenes/cornellbox2.yaml"
-    suz_ply = f"{_REF_RES}/models/suzanne/suzanne0.ply"
-    if os.path.exists(scene_yaml) and os.path.exists(suz_ply):
-        import tempfile
-
-        import yaml as yaml_mod
-
-        from raytracingthenextweekcuda_tpu.io.ply import load_ply
-        from raytracingthenextweekcuda_tpu.io.yaml_scene import (
-            load_scene_builder,
-            register_scene1_materials,
-        )
-
-        with open(scene_yaml) as f:
-            doc = yaml_mod.safe_load(f)
-        doc["objects"] = [o for o in doc["objects"] if "mesh" not in o]
-        with tempfile.NamedTemporaryFile(
-            "w", suffix=".yaml", delete=False
-        ) as tmp:
-            yaml_mod.safe_dump(doc, tmp)
-            tmp_path = tmp.name
-        try:
-            builder, camera = load_scene_builder(
-                tmp_path, scene1_materials=True
-            )
-        finally:
-            os.unlink(tmp_path)
-        # Statue on the floor, mid-box; white lambertian = materials[3]
-        # (createMesh binds materials[3] regardless of YAML, main.cu:781).
-        tris_arr = load_ply(suz_ply, offset=(0.0, -0.29, -0.18),
-                            max_coord=0.35)  # statue based on the floor
-        builder.mesh(tris_arr, 3)
-        scene = builder.build()
-        asset = "cornellbox2 walls/spheres + suzanne0.ply (published bench)"
-    else:
-        scene, camera = presets.mesh_showcase(n_lat=16, n_lon=32)
-        asset = "procedural stand-in (reference not mounted)"
+    scene, camera, asset = published_mesh_scene()
     tris = int(scene.triangles.count)
     # Production auto path selection (picks the tile-BVH winner path at
     # 967 triangles — measured 2501 ms vs 3515 ms for the brute
@@ -273,29 +245,51 @@ def run_mesh_stress(
     `vs_baseline` here compares a 48x-larger mesh workload against the
     967-tri published number — context, not parity.
     """
-    from raytracingthenextweekcuda_tpu.models import presets
+    from raytracingthenextweekcuda_tpu.apps.bench_scenes import (
+        stress_mesh_scene,
+    )
 
-    scene_yaml = f"{_REF_RES}/scenes/cornellbox2.yaml"
-    ball_ply = f"{_REF_RES}/models/materialball/materialball.ply"
-    if os.path.exists(scene_yaml) and os.path.exists(ball_ply):
-        from raytracingthenextweekcuda_tpu.io.ply import load_ply
-        from raytracingthenextweekcuda_tpu.io.yaml_scene import (
-            load_scene_builder,
-        )
-
-        builder, camera = load_scene_builder(scene_yaml)
-        tris_arr = load_ply(ball_ply, offset=(0.1, 0.0, -1.0))
-        # COAT: Path B's clear-coat diffuse (CUDAPathTracer.cu:522-563);
-        # specular layer is hard-coded white there, diffuse color rides the
-        # triangle — materialball ships uncolored, so 0.9 grey.
-        builder.coat(20, (0.9, 0.9, 0.9))
-        builder.mesh(tris_arr, 20)
-        scene = builder.build()
-        asset = "cornellbox2.yaml + materialball.ply (48x published size)"
-    else:
-        scene, camera = presets.mesh_showcase(n_lat=64, n_lon=128)
-        asset = "procedural uv-sphere stand-in (reference not mounted)"
+    scene, camera, asset = stress_mesh_scene()
     tris = int(scene.triangles.count)
     return _time_mesh_scene(scene, camera, width, height, spp, bounces,
                             spp_per_pass, sort_stride, tris, asset,
                             sort_rays=sort_rays)
+
+
+def run_mesh_large(
+    width: int = 512, height: int = 512, spp: int = 8, bounces: int = 5,
+    spp_per_pass: int = 8, sort_stride: int = 1, sort_rays: bool = True,
+) -> dict:
+    """Mesh metric 3: HBM-streaming scale — ~562k triangles (12x
+    materialball), 12x beyond anything the reference ships.
+
+    The packed Havel rows (~27 MB) exceed the winner kernel's VMEM-resident
+    threshold, so this entry exercises the double-buffered per-leaf DMA
+    pipeline (ops/pallas/bvh_winner_kernel.py stream=True) plus the
+    packet-frustum work-list build (>2048 leaves) inside the driver-run
+    bench — the `streaming` flag in the result asserts the path ran.
+    No reference counterpart exists (its BVH kernel was never timed and
+    its GPU held the whole scene resident); lighter spp/bounces keep the
+    entry's wall time proportionate.
+    """
+    from raytracingthenextweekcuda_tpu.apps.bench_scenes import (
+        large_mesh_scene,
+    )
+    from raytracingthenextweekcuda_tpu.ops.pallas.bvh_winner_kernel import (
+        STREAM_TRIH_BYTES,
+    )
+
+    scene, camera, asset = large_mesh_scene()
+    tris = int(scene.triangles.count)
+    out = _time_mesh_scene(scene, camera, width, height, spp, bounces,
+                           spp_per_pass, sort_stride, tris, asset,
+                           sort_rays=sort_rays)
+    # Streaming activates on geometry size (12 Havel rows x padded tris);
+    # recompute the decision the kernel makes so the artifact records it.
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
+
+    packed = finalize(scene, use_bvh=True).packed
+    thresh = int(os.environ.get("RTNW_STREAM_BYTES", STREAM_TRIH_BYTES))
+    out["streaming"] = bool(packed.trih[:12].size * 4 > thresh)
+    out["vs_baseline"] = None  # no reference number exists at this scale
+    return out

@@ -40,6 +40,12 @@ SKY_BLUE = (0.5, 0.7, 1.0)
 # Multi-sample sorted wavefronts are capped at this many rays (18 planar f32
 # rows each -> ~300 MB of HBM at the cap, x2 transiently during the sort).
 _SORT_WAVEFRONT_CAP = 4 * 1024 * 1024
+# ... and at this many samples per wavefront: _trace_sorted rebuilds each
+# ray's per-sample RNG base words with a select chain of length g over the
+# full wavefront every bounce, so unbounded g (tiny images at the ray cap)
+# would make that chain dominate the bounce and bloat the traced program.
+# 64 samples already gives the sort full cross-sample compaction leverage.
+_SORT_SAMPLE_GROUP_CAP = 64
 
 
 def sky_color(direction: jnp.ndarray) -> jnp.ndarray:
@@ -493,7 +499,8 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
         # than riding the wavefront sort. Capped to bound HBM (14 planar
         # f32 rows per ray).
         n = cfg.num_pixels
-        group = max(1, min(samples, _SORT_WAVEFRONT_CAP // max(n, 1)))
+        group = max(1, min(samples, _SORT_WAVEFRONT_CAP // max(n, 1),
+                           _SORT_SAMPLE_GROUP_CAP))
         accum = jnp.zeros((n, 3), frame.origin.dtype)
         for start in range(0, samples, group):
             g = min(group, samples - start)

@@ -43,6 +43,16 @@ def intersect_scene_fused(
     # branch to time the rest of the sorted bounce (sort+analytic+shade).
     # Triangles stay OUT of the analytic kernel either way.
     skip_mesh = os.environ.get("RTNW_DEBUG_SKIP_MESH") == "1"
+    if skip_mesh:
+        import warnings
+
+        warnings.warn(
+            "RTNW_DEBUG_SKIP_MESH=1: profiling ablation active — the "
+            "rendered image is WRONG (mesh intersection skipped). The flag "
+            "is baked into the jit cache at trace time; unsetting it later "
+            "in this process has no effect on already-traced functions.",
+            stacklevel=2,
+        )
     t_sel, code = jax.lax.stop_gradient(
         intersect_packed(rays, packed, tmin, backface_cull, interpret,
                          alive=alive, include_triangles=not has_tile_bvh)

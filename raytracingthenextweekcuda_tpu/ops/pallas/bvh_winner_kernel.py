@@ -248,6 +248,23 @@ def _winner_kernel(
         t0a = (root_ref[2, 0] - oz) * inv_dz
         t1a = (root_ref[5, 0] - oz) * inv_dz
         tfr = jnp.minimum(tfr, jnp.maximum(t0a, t1a))
+        # Error model for the margin: a valid hit inside the root box has
+        # EXACT t* <= exact root-exit. Both sides are computed in f32:
+        # the slab exit accumulates <=3 rounding steps per axis
+        # (subtract, multiply by the precomputed inverse, min/max chain),
+        # and the Havel t adds ~6 more (two 3-term dot products and one
+        # multiply against a reciprocal), so the computed values differ
+        # from exact by a RELATIVE error well under 16 ulp ~ 2e-6 each —
+        # the 1e-5 relative term (~84 ulp) covers the sum 4x over. The
+        # relative term scales with tfr, so large-coordinate scenes stay
+        # covered; the 1e-4 absolute term covers tfr ~ 0 where a relative
+        # bound vanishes (both computations' absolute error floor is
+        # ~FLT_MIN-scale there, far below 1e-4 for normalized
+        # directions). Catastrophic cancellation cannot push the Havel t
+        # HIGH relative to the slab exit beyond this: both difference
+        # terms ((bound - o) and (dc - o.n)) cancel against the same ray
+        # origin magnitude, so their absolute errors track each other
+        # through the shared tfr magnitude.
         exit_pad = tfr * (1.0 + 1e-5) + 1e-4
         ceil0 = jnp.minimum(tcap_ref[0], jnp.maximum(exit_pad, 0.0))
 
@@ -668,6 +685,14 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
     # Profiling ablation ONLY (wrong image): build the work lists but skip
     # the winner kernel — isolates list-build cost from kernel cost.
     if os.environ.get("RTNW_DEBUG_WL_ONLY") == "1":
+        import warnings
+
+        warnings.warn(
+            "RTNW_DEBUG_WL_ONLY=1: profiling ablation active — the "
+            "rendered image is WRONG (every mesh ray misses). Baked into "
+            "the jit cache at trace time.",
+            stacklevel=2,
+        )
         dep = (counts.ravel().sum() & 0) - 1  # data dep, always -1
         t = jnp.full((n_pad,), BIG, jnp.float32)
         return t[:n], jnp.full((n,), 1, jnp.int32) * dep

@@ -128,9 +128,11 @@ def _vpu_utilization(scene, paths: int, bounces: int, dt: float):
     if p is None:
         return None
     s_count, p_count, _ = p.counts
-    trih, quads = getattr(p, "hcounts", (0, 0))
+    hc = tuple(getattr(p, "hcounts", (0, 0, 0)))
+    trih, quads = hc[0], hc[1]
+    boxes = hc[2] if len(hc) > 2 else 0
     per_bounce = (
-        35 * s_count + 30 * p_count + 43 * (trih + quads) + 90
+        35 * s_count + 30 * p_count + 43 * (trih + quads) + 110 * boxes + 90
     )
     flops = paths * (40 + bounces * per_bounce)
     return round(flops / dt / 3.9e12, 4)

@@ -144,3 +144,149 @@ def run_fit(
     side = jnp.concatenate([target["radiance"] / spp, final], axis=1)
     write_png(out, np.asarray(tonemap_u8(side))[::-1])
     return 0 if final_loss < loss0 * 0.5 else 1
+
+
+def _make_mesh_scene(n_lat: int = 12, n_lon: int = 24):
+    """A diffuse uv-sphere mesh on a ground plane under an emissive dome —
+    enough triangles (~500) that finalize picks the tile-BVH winner path."""
+    from raytracingthenextweekcuda_tpu.io.procedural import uv_sphere_mesh
+
+    b = SceneBuilder()
+    b.lambertian(0, (0.7, 0.35, 0.25))
+    b.lambertian(1, (0.8, 0.8, 0.8))
+    b.emission(2, (1.0, 1.0, 1.0), 1.5)
+    b.mesh(uv_sphere_mesh(0.45, (0.0, 0.05, 0.0), n_lat, n_lon), 0)
+    b.plane((0.0, -0.4, 0.0), (0.0, 1.0, 0.0), (50.0, 0.0, 50.0), 2, 1)
+    b.sphere((0.0, 0.0, 0.0), 30.0, 2)  # emissive dome
+    return b.build()
+
+
+def run_fit_mesh(
+    steps: int = 50,
+    out: str = "fit_mesh.png",
+    width: int = 96,
+    height: int = 96,
+    spp: int = 8,
+    lr: float = 3e-2,
+    seed: int = 0,
+    refresh: int = 10,
+    verbose: bool = True,
+) -> int:
+    """Inverse rendering on TRIANGLE VERTICES through the tile-BVH winner
+    path (`rtnw fit --mesh`).
+
+    Parameterization: anisotropic per-axis scale + translation of the mesh
+    vertices (`v' = v * (1 + scale) + shift`) — the same reparameterization
+    the multi-chip vertex-grad tests use (tests/test_parallel.py:154): a
+    scale bends the cross-product normals, so radiance carries real vertex
+    gradients at fixed winner topology, while depth/normal AOVs carry the
+    translation signal.
+
+    The winner kernel is selection-only (stop-gradient); gradients flow
+    through the differentiable recompute at fixed topology (ops/fused.py).
+    Every `refresh` steps the scene is re-finalized so the SAH tile-BVH
+    tracks the deformed geometry — the standard differentiable-rendering
+    split (discrete accel rebuild outside the gradient, continuous geometry
+    inside it).
+    """
+    from raytracingthenextweekcuda_tpu.models.scene import finalize
+
+    camera = Camera.make(
+        eye=(0.0, 0.6, 2.2), center=(0.0, 0.0, 0.0), fov=45.0,
+        aperture=0.0, focus_distance=2.2,
+    )
+    cfg = RenderConfig(width=width, height=height, spp=spp, bounces=4,
+                       spp_per_pass=spp, fused_bounce=False)
+
+    base = _make_mesh_scene()
+    true_p = {
+        "scale": jnp.asarray([0.22, -0.18, 0.10], jnp.float32),
+        "shift": jnp.asarray([0.12, 0.05, -0.08], jnp.float32),
+    }
+
+    def deform(scene, p):
+        tri = scene.triangles._replace(
+            vertices=scene.triangles.vertices * (1.0 + p["scale"])
+            + p["shift"]
+        )
+        return scene._replace(triangles=tri)
+
+    def refinalize(p):
+        """Host-side accel rebuild at the CURRENT deformation (outside the
+        gradient): winner topology follows the geometry."""
+        return finalize(deform(base, jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.lax.stop_gradient(x)), p)))
+
+    key = jax.random.key(seed)
+    target_scene = refinalize(true_p)
+    target = integrator.render_gbuffer(target_scene, camera, key, cfg, spp)
+
+    params = {
+        "scale": jnp.zeros((3,), jnp.float32),
+        "shift": jnp.zeros((3,), jnp.float32),
+    }
+    anchor = {"scene": refinalize(params), "p": params}
+
+    @jax.jit
+    def loss_fn(params, anchor_scene, anchor_p, k):
+        # Geometry = anchor scene deformed by the RELATIVE transform from
+        # the anchor's parameters to the live ones; winner selection uses
+        # the anchor's packed arrays (fixed topology between refreshes).
+        rel_scale = (1.0 + params["scale"]) / (1.0 + anchor_p["scale"]) - 1.0
+        rel_shift = params["shift"] - anchor_p["shift"] * (1.0 + rel_scale)
+        s = deform(anchor_scene, {"scale": rel_scale, "shift": rel_shift})
+        g = integrator.render_gbuffer(s, camera, k, cfg, spp)
+        both = jax.lax.stop_gradient(
+            (g["hit_mask"] > 0.5) & (target["hit_mask"] > 0.5)
+        )
+        rad = jnp.mean((g["radiance"] / spp - target["radiance"] / spp) ** 2)
+        depth = jnp.mean(
+            jnp.where(both, (g["depth"] - target["depth"]) ** 2, 0.0)
+        )
+        normal = jnp.mean(
+            jnp.where(both[..., None],
+                      (g["normal"] - target["normal"]) ** 2, 0.0)
+        )
+        return rad + 0.5 * depth + 0.2 * normal
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, anchor_scene, anchor_p, k):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, anchor_scene, anchor_p, k)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    loss0 = None
+    for i in range(steps):
+        if refresh and i and i % refresh == 0:
+            anchor = {"scene": refinalize(params), "p": params}
+        params, opt_state, loss = step(
+            params, opt_state, anchor["scene"], anchor["p"],
+            jax.random.fold_in(key, i + 1))
+        if loss0 is None:
+            loss0 = float(loss)
+        if verbose and (i % 10 == 0 or i == steps - 1):
+            print(f"  step {i:3d}  loss {float(loss):.5f}", file=sys.stderr)
+
+    final_loss = float(loss)
+    scale_err = float(jnp.abs(params["scale"] - true_p["scale"]).max())
+    shift_err = float(jnp.abs(params["shift"] - true_p["shift"]).max())
+    if verbose:
+        print(
+            f"fit --mesh: loss {loss0:.5f} -> {final_loss:.5f} in "
+            f"{time.perf_counter() - t0:.1f}s; max scale err {scale_err:.3f},"
+            f" max shift err {shift_err:.3f}", file=sys.stderr,
+        )
+
+    from raytracingthenextweekcuda_tpu.io.image import write_png
+    from raytracingthenextweekcuda_tpu.models.film import tonemap_u8
+
+    final_img = integrator.render_pass(
+        refinalize(params), camera, key, cfg, spp) / spp
+    side = jnp.concatenate([target["radiance"] / spp, final_img], axis=1)
+    write_png(out, np.asarray(tonemap_u8(side))[::-1])
+    return 0 if final_loss < loss0 * 0.5 else 1

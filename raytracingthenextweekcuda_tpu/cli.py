@@ -157,6 +157,10 @@ def cmd_bench(args) -> int:
 
 
 def cmd_fit(args) -> int:
+    if args.mesh:
+        from raytracingthenextweekcuda_tpu.apps.fit import run_fit_mesh
+
+        return run_fit_mesh(steps=args.steps, out=args.out)
     from raytracingthenextweekcuda_tpu.apps.fit import run_fit
 
     return run_fit(steps=args.steps, out=args.out)
@@ -256,6 +260,11 @@ def main(argv=None) -> int:
     pf = sub.add_parser("fit", help="inverse-rendering demo (BASELINE config 5)")
     pf.add_argument("--steps", type=int, default=60)
     pf.add_argument("--out", default="fit.png")
+    pf.add_argument(
+        "--mesh", action="store_true",
+        help="fit TRIANGLE VERTICES (anisotropic scale + translation) "
+             "through the tile-BVH winner path instead of sphere params",
+    )
     pf.set_defaults(fn=cmd_fit)
 
     pl = sub.add_parser(

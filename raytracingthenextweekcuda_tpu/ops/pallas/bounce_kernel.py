@@ -167,6 +167,147 @@ def _merge_parallelograms(verts, mat_id):
 # Number of geometry rows in a Havel-packed tri/quad array (before MAT_ROWS).
 HAVEL_ROWS = 12
 
+# Geometry rows of a packed box (OBB): center (3), unit axes u/v/w (9),
+# half extents (3). Material rows follow.
+BOX_ROWS = 15
+
+
+def _merge_boxes(q_v0, q_e1, q_e2, q_mat):
+    """Detect groups of 6 parallelogram quads forming a closed box (OBB).
+
+    The reference's Cornell cubes are rotated cube meshes
+    (cornellbox2.yaml `cube_small.obj` + rotateY) that quad-merge into 6
+    parallelograms each; a closed box admits ONE oriented-slab test
+    (~1/3 the vector ops of 6 quad Havel tests and 1/6 the winner
+    selects), the representation-level successor of the reference's
+    Cube = 6 planes composite (Cube.cu:10-23).
+
+    A 6-quad vertex-connected component qualifies when its corners are
+    exactly 8 points c +- hu*u +- hv*v +- hw*w for an orthogonal frame
+    (u, v, w), and every quad's outward normal points away from c (so
+    backface culling is preserved: entry-face hits only, interior rays
+    miss). Quads failing any check stay quads.
+
+    Returns (box_c (B,3), box_axes (B,3,3) unit rows, box_h (B,3),
+    box_mat (B,), rest_idx) with rest_idx indexing surviving quads.
+    """
+    import numpy as np
+
+    Q = q_v0.shape[0]
+    if Q < 6:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3), np.float32), np.zeros((0,), np.int32),
+                np.arange(Q))
+    corners = np.stack(
+        [q_v0, q_v0 + q_e1, q_v0 + q_e2, q_v0 + q_e1 + q_e2], axis=1
+    )  # (Q, 4, 3)
+    # Union-find over exact vertex bytes (merged quads reuse mesh verts).
+    parent = list(range(Q))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    vert_owner: dict = {}
+    for q in range(Q):
+        for k in range(4):
+            key = corners[q, k].tobytes()
+            if key in vert_owner:
+                a, b = find(vert_owner[key]), find(q)
+                if a != b:
+                    parent[b] = a
+            else:
+                vert_owner[key] = q
+    groups: dict = {}
+    for q in range(Q):
+        groups.setdefault(find(q), []).append(q)
+
+    used = np.zeros(Q, bool)
+    box_c, box_axes, box_h, box_mat = [], [], [], []
+    for members in groups.values():
+        if len(members) != 6:
+            continue
+        qs = np.asarray(members)
+        if len(set(int(q_mat[q]) for q in qs)) != 1:
+            continue
+        pts = corners[qs].reshape(-1, 3)
+        uniq = np.unique(pts.round(decimals=6), axis=0)
+        if uniq.shape[0] != 8:
+            continue
+        c = uniq.mean(axis=0)
+        # Box axes: the 3 distinct (+-) edge directions among the quads.
+        edges = np.concatenate([q_e1[qs], q_e2[qs]], axis=0)  # (12, 3)
+        lens = np.linalg.norm(edges, axis=1)
+        if (lens < 1e-12).any():
+            continue
+        dirs = edges / lens[:, None]
+        axes = []
+        ok = True
+        for d, ln in zip(dirs, lens):
+            for a, _ in axes:
+                if abs(np.dot(d, a)) > 1.0 - 1e-5:
+                    break
+            else:
+                axes.append((d, ln))
+        if len(axes) != 3:
+            continue
+        A = np.stack([a for a, _ in axes])       # (3, 3)
+        H = np.asarray([ln for _, ln in axes]) * 0.5
+        # Orthogonal frame?
+        G = A @ A.T
+        if np.abs(G - np.eye(3)).max() > 1e-4:
+            continue
+        # All 8 corners are c +- H*axes?
+        loc = (uniq - c) @ A.T                   # (8, 3) local coords
+        scale = max(float(np.abs(uniq).max()), 1e-6)
+        if np.abs(np.abs(loc) - H[None, :]).max() > 1e-4 * scale:
+            ok = False
+        # Outward-facing quads (culling parity).
+        if ok:
+            for q in qs:
+                n = np.cross(q_e1[q], q_e2[q])
+                qc = corners[q].mean(axis=0)
+                if np.dot(n, qc - c) <= 0.0:
+                    ok = False
+                    break
+        if not ok:
+            continue
+        used[qs] = True
+        box_c.append(c)
+        box_axes.append(A)
+        box_h.append(H)
+        box_mat.append(int(q_mat[qs[0]]))
+    rest = np.nonzero(~used)[0]
+    return (
+        np.asarray(box_c, np.float32).reshape(-1, 3),
+        np.asarray(box_axes, np.float32).reshape(-1, 3, 3),
+        np.asarray(box_h, np.float32).reshape(-1, 3),
+        np.asarray(box_mat, np.int32).reshape(-1),
+        rest,
+    )
+
+
+def _pack_boxes(box_c, box_axes, box_h, box_mat, materials):
+    """Box arrays -> (BOX_ROWS + MAT_ROWS, pad128) planar rows."""
+    import numpy as np
+
+    from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
+        _pad128,
+    )
+
+    B = box_c.shape[0]
+    out = np.zeros((BOX_ROWS + MAT_ROWS, _pad128(B)), np.float32)
+    if B:
+        out[0:3, :B] = box_c.T
+        out[3:12, :B] = box_axes.reshape(B, 9).T
+        # Padding columns have h = 0 -> tn = tf = degenerate -> never hit
+        # (the kernel requires tn >= tmin with tn from +-0 slabs).
+        out[12:15, :B] = box_h.T
+        out[BOX_ROWS:, :B] = _mat_rows_np(materials, box_mat)
+    return jnp.asarray(out)
+
 
 def _pack_havel(v0, e1, e2, mat_id, materials):
     """(K, 3) parallelogram/triangle frames -> (20, pad128) Havel rows.
@@ -272,7 +413,7 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
     bvh_bounds = bvh_meta = None
     leaf_bounds = leaf_tiles = None
     trih = quadh = None
-    hcounts = (0, 0)
+    hcounts = (0, 0, 0)
     if tile_bvh is not None:
         assert tile_bvh.padded_tri_count == T, (
             f"triangles ({T}) not in tile order ({tile_bvh.padded_tri_count})"
@@ -314,6 +455,7 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
         )
         quadh = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
 
+    boxh = None
     if tile_bvh is None and T:
         try:
             verts = np.asarray(jax.device_get(scene.triangles.vertices))
@@ -323,17 +465,27 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
         if verts is not None:
             if merge_quads:
                 qv0, qe1, qe2, qmat, rest = _merge_parallelograms(verts, mids)
+                (b_c, b_axes, b_h, b_mat,
+                 qrest) = _merge_boxes(qv0, qe1, qe2, qmat)
+                qv0, qe1, qe2, qmat = (qv0[qrest], qe1[qrest], qe2[qrest],
+                                       qmat[qrest])
             else:
                 qv0 = qe1 = qe2 = np.zeros((0, 3), np.float32)
                 qmat = np.zeros((0,), np.int32)
                 rest = np.arange(T)
+                b_c = np.zeros((0, 3), np.float32)
+                b_axes = np.zeros((0, 3, 3), np.float32)
+                b_h = np.zeros((0, 3), np.float32)
+                b_mat = np.zeros((0,), np.int32)
             v0 = verts[rest, 0]
             trih = _pack_havel(
                 v0, verts[rest, 1] - v0, verts[rest, 2] - v0,
                 mids[rest], scene.materials,
             )
             quadh = _pack_havel(qv0, qe1, qe2, qmat, scene.materials)
-            hcounts = (int(rest.shape[0]), int(qmat.shape[0]))
+            boxh = _pack_boxes(b_c, b_axes, b_h, b_mat, scene.materials)
+            hcounts = (int(rest.shape[0]), int(qmat.shape[0]),
+                       int(b_mat.shape[0]))
 
     return PackedScene(
         extend(base.spheres, scene.spheres, S),
@@ -350,6 +502,7 @@ def pack_scene_shaded(scene, tile_bvh=None, merge_quads=True):
         has_emission=base.has_emission,
         leaf_bounds=leaf_bounds,
         leaf_tiles=leaf_tiles,
+        boxh=boxh,
     )
 
 
@@ -357,9 +510,10 @@ def _bounce_core(
     ox, oy, oz, dx, dy, dz, tm, alive,
     tpx, tpy, tpz, rx, ry, rz,
     u0, u1, u2, u3, do_rr,
-    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref,
+    bvh_b_ref, bvh_m_ref,
     *, n_sph: int, n_pla: int, n_tri: int, n_trih: int, n_quad: int,
-    n_bvh_nodes: int, tmin: float,
+    n_box: int, n_bvh_nodes: int, tmin: float,
     backface_cull: bool, sky: bool, used_kinds, russian_roulette: bool,
     additive_emission: bool, sb: int, pb: int, tb: int,
 ):
@@ -562,18 +716,95 @@ def _bounce_core(
 
             return h_body
 
+        def box_body(i, carry):
+            """Oriented-box slab test (the 6-quad cube collapsed to one
+            primitive — bounce_kernel._merge_boxes). Entry-face hits only
+            (tn >= tmin), matching the culled closed quad shell: interior
+            and tangent rays miss. Normal = the entry slab's outward axis."""
+            (best_t, w_kind, w_nx, w_ny, w_nz,
+             w_ar, w_ag, w_ab, w_par, w_er, w_eg, w_eb) = carry
+            eps_b = 1e-20
+            relx = ox - box_ref[0, i]
+            rely = oy - box_ref[1, i]
+            relz = oz - box_ref[2, i]
+            tn = jnp.full(shape, -BIG, jnp.float32)
+            tf = jnp.full(shape, BIG, jnp.float32)
+            nxw = jnp.zeros(shape, jnp.float32)
+            nyw = jnp.zeros(shape, jnp.float32)
+            nzw = jnp.zeros(shape, jnp.float32)
+            if not backface_cull:
+                exw = (jnp.zeros(shape, jnp.float32),
+                       jnp.zeros(shape, jnp.float32),
+                       jnp.zeros(shape, jnp.float32))
+            for axis in range(3):
+                axx = box_ref[3 + 3 * axis, i]
+                axy = box_ref[4 + 3 * axis, i]
+                axz = box_ref[5 + 3 * axis, i]
+                h = box_ref[12 + axis, i]
+                ol = relx * axx + rely * axy + relz * axz
+                dl = dx * axx + dy * axy + dz * axz
+                dls = jnp.where(jnp.abs(dl) < eps_b,
+                                jnp.where(dl >= 0.0, eps_b, -eps_b), dl)
+                inv = 1.0 / dls
+                t0 = (-h - ol) * inv
+                t1 = (h - ol) * inv
+                tna = jnp.minimum(t0, t1)
+                tfa = jnp.maximum(t0, t1)
+                upd = tna > tn
+                s = jnp.where(dl >= 0.0, -1.0, 1.0)
+                nxw = jnp.where(upd, s * axx, nxw)
+                nyw = jnp.where(upd, s * axy, nyw)
+                nzw = jnp.where(upd, s * axz, nzw)
+                if not backface_cull:
+                    upd2 = tfa < tf
+                    exw = (jnp.where(upd2, -s * axx, exw[0]),
+                           jnp.where(upd2, -s * axy, exw[1]),
+                           jnp.where(upd2, -s * axz, exw[2]))
+                tn = jnp.maximum(tn, tna)
+                tf = jnp.minimum(tf, tfa)
+            win = (tf >= tn) & (tn >= tmin) & (tn < best_t)
+            t_box = tn
+            if not backface_cull:
+                # Two-sided shell: interior origins hit the EXIT face at tf
+                # (outward geometric normal; face_normal flips downstream).
+                inside = (tf >= tn) & (tn < tmin) & (tf >= tmin) & (
+                    tf < best_t
+                )
+                t_box = jnp.where(inside, tf, t_box)
+                nxw = jnp.where(inside, exw[0], nxw)
+                nyw = jnp.where(inside, exw[1], nyw)
+                nzw = jnp.where(inside, exw[2], nzw)
+                win = win | inside
+            return (
+                take(win, t_box, best_t),
+                take(win, box_ref[bb + 0, i], w_kind),
+                take(win, nxw, w_nx),
+                take(win, nyw, w_ny),
+                take(win, nzw, w_nz),
+                take(win, box_ref[bb + 1, i], w_ar),
+                take(win, box_ref[bb + 2, i], w_ag),
+                take(win, box_ref[bb + 3, i], w_ab),
+                take(win, box_ref[bb + 4, i], w_par),
+                take_e(win, box_ref[bb + 5, i], w_er),
+                take_e(win, box_ref[bb + 6, i], w_eg),
+                take_e(win, box_ref[bb + 7, i], w_eb),
+            )
+
+        bb = BOX_ROWS
         carry = carry0
         UNROLL = 128  # full unroll below this prim count (counts are static)
         bodies = [(n_sph, sphere_body), (n_pla, plane_body)]
         if not n_bvh_nodes:
-            if n_trih or n_quad:
-                # Havel fast path: quad-merged precomputed-plane tests.
+            if n_trih or n_quad or n_box:
+                # Havel fast path: quad-merged precomputed-plane tests,
+                # closed cubes collapsed to oriented-box slab tests.
                 bodies.append(
                     (n_trih, make_havel_body(trih_ref, HAVEL_ROWS, False))
                 )
                 bodies.append(
                     (n_quad, make_havel_body(quad_ref, HAVEL_ROWS, True))
                 )
+                bodies.append((n_box, box_body))
             else:
                 bodies.append((n_tri, tri_body))
         for count, body in bodies:
@@ -1059,7 +1290,7 @@ def _bounce_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, alive_ref,
     u0_ref, u1_ref, u2_ref, u3_ref,
     tpx_ref, tpy_ref, tpz_ref, rx_ref, ry_ref, rz_ref,
-    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref, bvh_b_ref, bvh_m_ref,
     oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
     otpx_ref, otpy_ref, otpz_ref, orx_ref, ory_ref, orz_ref, oalive_ref,
     **consts,
@@ -1085,7 +1316,7 @@ def _bounce_kernel(
             rx_ref[0], ry_ref[0], rz_ref[0],
             u0_ref[0], u1_ref[0], u2_ref[0], u3_ref[0],
             do_rr_ref[0] != 0,
-            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref,
+            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref,
             bvh_b_ref, bvh_m_ref,
             **consts,
         )
@@ -1098,7 +1329,7 @@ def _bounce_kernel(
 
 def _trace_sample(
     pid, b0, b1, ox, oy, oz, dx, dy, dz, tm, alive,
-    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref, bvh_b_ref, bvh_m_ref,
     *, bounces: int, rr_start: int, **consts,
 ):
     """Trace one wavefront sample to completion in-register.
@@ -1133,7 +1364,7 @@ def _trace_sample(
             tpx, tpy, tpz, rx, ry, rz,
             to_uniform(h0), to_uniform(h1), to_uniform(h2), to_uniform(h3),
             b >= rr_start,
-            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref,
+            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref,
             bvh_b_ref, bvh_m_ref,
             **consts,
         )
@@ -1147,7 +1378,7 @@ def _path_kernel(
     base_ref,
     pid_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
     alive_ref,
-    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref, bvh_b_ref, bvh_m_ref,
     orx_ref, ory_ref, orz_ref,
     *, bounces: int, rr_start: int, **consts,
 ):
@@ -1163,7 +1394,7 @@ def _path_kernel(
 
     orx_ref[0], ory_ref[0], orz_ref[0] = _trace_sample(
         pid, b0, b1, ox, oy, oz, dx, dy, dz, tm, alive,
-        sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+        sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref, bvh_b_ref, bvh_m_ref,
         bounces=bounces, rr_start=rr_start, **consts,
     )
 
@@ -1220,7 +1451,7 @@ def _raygen_core(pid, xs, ys, b0, b1, frame_ref, *, width: int, height: int):
 def _render_kernel(
     bases_ref, frame_ref,
     pid_ref, xs_ref, ys_ref, alive_ref,
-    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, bvh_b_ref, bvh_m_ref,
+    sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref, bvh_b_ref, bvh_m_ref,
     orx_ref, ory_ref, orz_ref,
     *, n_samples: int, width: int, height: int,
     bounces: int, rr_start: int, **consts,
@@ -1255,7 +1486,7 @@ def _render_kernel(
         )
         rx, ry, rz = _trace_sample(
             pid, b0, b1, ox, oy, oz, dx, dy, dz, tm, alive0,
-            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref,
+            sph_ref, pla_ref, tri_ref, trih_ref, quad_ref, box_ref,
             bvh_b_ref, bvh_m_ref,
             bounces=bounces, rr_start=rr_start, **consts,
         )
@@ -1279,7 +1510,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
                 base_rows, n_bvh_nodes, tmin, backface_cull, sky, used_kinds,
                 russian_roulette, additive_emission, interpret):
     (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz) = ray_state
-    sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
+    sph, pla, tri, trih, quad, box, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
     rows = RAY_BLOCK // 128
@@ -1290,7 +1521,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
     kern = functools.partial(
         _bounce_kernel,
         n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
-        n_trih=hcounts[0], n_quad=hcounts[1],
+        n_trih=hcounts[0], n_quad=hcounts[1], n_box=hcounts[2],
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
@@ -1314,7 +1545,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
         in_specs=(
             [smem_spec] + [ray_spec] * 18
             + [smem_spec, smem_spec, smem_spec, trih_spec, smem_spec,
-               smem_spec, smem_spec]
+               smem_spec, smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 13,
         out_shape=(
@@ -1328,7 +1559,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
         rs(alive),
         rs(u4[:, 0]), rs(u4[:, 1]), rs(u4[:, 2]), rs(u4[:, 3]),
         rs(tpx), rs(tpy), rs(tpz), rs(rx), rs(ry), rs(rz),
-        sph, pla, tri, trih, quad, bvh_b, bvh_m,
+        sph, pla, tri, trih, quad, box, bvh_b, bvh_m,
     )
     return tuple(o.reshape(n) for o in outs)
 
@@ -1344,7 +1575,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
               packed_arrays, counts, hcounts, base_rows, n_bvh_nodes, tmin,
               backface_cull, sky, used_kinds, russian_roulette,
               additive_emission, bounces, rr_start, interpret):
-    sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
+    sph, pla, tri, trih, quad, box, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
     rows = RAY_BLOCK // 128
@@ -1356,7 +1587,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         _path_kernel,
         bounces=bounces, rr_start=rr_start,
         n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
-        n_trih=hcounts[0], n_quad=hcounts[1],
+        n_trih=hcounts[0], n_quad=hcounts[1], n_box=hcounts[2],
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
@@ -1376,7 +1607,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         in_specs=(
             [smem_spec] + [ray_spec] * 9
             + [smem_spec, smem_spec, smem_spec, trih_spec, smem_spec,
-               smem_spec, smem_spec]
+               smem_spec, smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32)] * 3,
@@ -1385,7 +1616,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         bases,
         rs(pid), rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(tmv),
         rs(alive),
-        sph, pla, tri, trih, quad, bvh_b, bvh_m,
+        sph, pla, tri, trih, quad, box, bvh_b, bvh_m,
     )
     return tuple(o.reshape(n) for o in outs)
 
@@ -1402,7 +1633,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
                 hcounts, base_rows, n_bvh_nodes, n_samples, width, height,
                 tmin, backface_cull, sky, used_kinds, russian_roulette,
                 additive_emission, bounces, rr_start, interpret):
-    sph, pla, tri, trih, quad, bvh_b, bvh_m = packed_arrays
+    sph, pla, tri, trih, quad, box, bvh_b, bvh_m = packed_arrays
     n = pid.shape[0]
     n_blocks = n // RAY_BLOCK
     rows = RAY_BLOCK // 128
@@ -1415,7 +1646,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
         n_samples=n_samples, width=width, height=height,
         bounces=bounces, rr_start=rr_start,
         n_sph=counts[0], n_pla=counts[1], n_tri=counts[2],
-        n_trih=hcounts[0], n_quad=hcounts[1],
+        n_trih=hcounts[0], n_quad=hcounts[1], n_box=hcounts[2],
         n_bvh_nodes=n_bvh_nodes,
         tmin=tmin, backface_cull=backface_cull, sky=sky,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
@@ -1435,7 +1666,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
         in_specs=(
             [smem_spec, smem_spec] + [ray_spec] * 4
             + [smem_spec, smem_spec, smem_spec, trih_spec, smem_spec,
-               smem_spec, smem_spec]
+               smem_spec, smem_spec, smem_spec]
         ),
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32)] * 3,
@@ -1443,7 +1674,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
     )(
         bases, frame,
         rs(pid), rs(xs), rs(ys), rs(alive),
-        sph, pla, tri, trih, quad, bvh_b, bvh_m,
+        sph, pla, tri, trih, quad, box, bvh_b, bvh_m,
     )
     return tuple(o.reshape(n) for o in outs)
 
@@ -1464,8 +1695,8 @@ def _pack_frame(frame) -> jnp.ndarray:
 
 
 def _scene_arrays(packed_shaded):
-    """(sph, pla, tri, trih, quad, bvh_b, bvh_m) with dummies for absent
-    parts, plus static (n_bvh_nodes, hcounts)."""
+    """(sph, pla, tri, trih, quad, box, bvh_b, bvh_m) with dummies for
+    absent parts, plus static (n_bvh_nodes, hcounts)."""
     bvh_b = packed_shaded.bvh_bounds
     bvh_m = packed_shaded.bvh_meta
     n_bvh_nodes = 0 if bvh_b is None else int(bvh_b.shape[1])
@@ -1474,11 +1705,17 @@ def _scene_arrays(packed_shaded):
         bvh_m = jnp.zeros((5, 1), jnp.int32)
     trih = packed_shaded.trih
     quadh = packed_shaded.quadh
+    boxh = getattr(packed_shaded, "boxh", None)
     hcounts = tuple(packed_shaded.hcounts)
+    if len(hcounts) == 2:  # packs predating the box merge
+        hcounts = hcounts + (0,)
     if trih is None:
         trih = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
         quadh = jnp.zeros((HAVEL_ROWS + MAT_ROWS, 1), jnp.float32)
-        hcounts = (0, 0)
+        hcounts = (0, 0, 0)
+    if boxh is None:
+        boxh = jnp.zeros((BOX_ROWS + MAT_ROWS, 1), jnp.float32)
+        hcounts = (hcounts[0], hcounts[1], 0)
     triangles = packed_shaded.triangles
     if n_bvh_nodes:
         # The traversal reads Havel leaf tiles (trih); the Möller–Trumbore
@@ -1486,7 +1723,7 @@ def _scene_arrays(packed_shaded):
         # don't occupy SMEM/VMEM or HBM bandwidth.
         triangles = triangles[:, :1]
     arrays = (packed_shaded.spheres, packed_shaded.planes,
-              triangles, trih, quadh, bvh_b, bvh_m)
+              triangles, trih, quadh, boxh, bvh_b, bvh_m)
     return arrays, n_bvh_nodes, hcounts
 
 

@@ -66,8 +66,9 @@ class PackedScene:
 
     def __init__(self, spheres, planes, triangles, counts, used_kinds=None,
                  shaded=False, bvh_bounds=None, bvh_meta=None,
-                 trih=None, quadh=None, hcounts=(0, 0),
-                 has_emission=True, leaf_bounds=None, leaf_tiles=None):
+                 trih=None, quadh=None, hcounts=(0, 0, 0),
+                 has_emission=True, leaf_bounds=None, leaf_tiles=None,
+                 boxh=None):
         self.spheres = spheres      # (10, Sp): cx0 cy0 cz0 dcx dcy dcz t0 inv_dt r pad
         self.planes = planes        # (13, Pp): pos(3) n(3) lo(3) hi(3) two_sided
         self.triangles = triangles  # (9, Tp): v0(3) e1(3) e2(3)
@@ -93,7 +94,10 @@ class PackedScene:
         # triangle order) — winner codes stay stable.
         self.trih = trih            # (20, Tp'): n̂(3) dc e1p(3) d1 e2p(3) d2 + mat(8)
         self.quadh = quadh          # (20, Qp): same rows, uv in [0,1]²
-        self.hcounts = hcounts      # static (T', Q)
+        # Closed 6-quad groups further merged into oriented boxes (OBB slab
+        # test in the megastep — bounce_kernel._merge_boxes).
+        self.boxh = boxh            # (23, Bp): c(3) u(3) v(3) w(3) h(3) + mat(8)
+        self.hcounts = hcounts      # static (T', Q, B)
         # Static: any material has nonzero Path-B additive emission
         # (CUDAPathTracer.cu:430). When False the megastep skips the three
         # emission winner-rows and their radiance FMAs entirely.
@@ -108,7 +112,7 @@ class PackedScene:
         return (
             (self.spheres, self.planes, self.triangles,
              self.bvh_bounds, self.bvh_meta, self.trih, self.quadh,
-             self.leaf_bounds, self.leaf_tiles),
+             self.leaf_bounds, self.leaf_tiles, self.boxh),
             (self.counts, self.used_kinds, self.shaded, self.hcounts,
              self.has_emission),
         )
@@ -117,10 +121,10 @@ class PackedScene:
     def tree_unflatten(cls, aux, children):
         counts, used_kinds, shaded, hcounts, has_emission = aux
         (spheres, planes, triangles, bvh_bounds, bvh_meta,
-         trih, quadh, leaf_bounds, leaf_tiles) = children
+         trih, quadh, leaf_bounds, leaf_tiles, boxh) = children
         return cls(spheres, planes, triangles, counts, used_kinds, shaded,
                    bvh_bounds, bvh_meta, trih, quadh, hcounts, has_emission,
-                   leaf_bounds, leaf_tiles)
+                   leaf_bounds, leaf_tiles, boxh)
 
 
 def _pad128(n: int) -> int:

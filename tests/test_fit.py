@@ -58,3 +58,18 @@ def test_fit_recovers_scene():
             spp=4, verbose=False,
         )
     assert rc == 0  # loss halved at minimum
+
+
+@pytest.mark.slow
+def test_fit_mesh_recovers_deformation():
+    """`rtnw fit --mesh`: triangle-vertex fit (anisotropic scale + shift)
+    through the tile-BVH winner path converges (loss at least halves)."""
+    from raytracingthenextweekcuda_tpu.apps.fit import run_fit_mesh
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        rc = run_fit_mesh(
+            steps=24, out=os.path.join(d, "fit_mesh.png"), width=48,
+            height=48, spp=4, refresh=8, verbose=False,
+        )
+    assert rc == 0

@@ -143,7 +143,7 @@ _REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"
 
 def _time_mesh_scene(scene, camera, width, height, spp, bounces,
                      spp_per_pass, sort_stride, tris, asset,
-                     sort_rays=True, use_bvh=True):
+                     sort_rays=True, use_bvh=True, stats_probe=False):
     import time
 
     import jax
@@ -173,7 +173,7 @@ def _time_mesh_scene(scene, camera, width, height, spp, bounces,
     sync(film.accum)
     dt = time.perf_counter() - t0
     paths_per_sec = width * height * spp / dt
-    return {
+    out = {
         "paths_per_sec": round(paths_per_sec, 1),
         "vs_baseline": round(paths_per_sec / REFERENCE_PATHS_PER_SEC, 3),
         "render_ms": round(dt * 1000, 2),
@@ -182,6 +182,15 @@ def _time_mesh_scene(scene, camera, width, height, spp, bounces,
         "config": {"width": width, "height": height, "spp": spp,
                    "bounces": bounces},
     }
+    if stats_probe and scene.packed.leaf_bounds is not None:
+        try:
+            out["leaf_tile"] = int(
+                scene.packed.trih.shape[1]
+                // scene.packed.leaf_bounds.shape[1])
+            out["stats"] = _winner_stats_probe(scene, camera, cfg)
+        except Exception as e:  # the probe must never sink the bench
+            out["stats"] = {"error": str(e)[:200]}
+    return out
 
 
 def run_mesh_bench(
@@ -233,6 +242,88 @@ def run_mesh_bench(
                             sort_rays=sort_rays, use_bvh=None)
 
 
+def _winner_stats_probe(scene, camera, cfg, bounces: int = 3) -> dict:
+    """Mean listed/walked/evaluated leaves per live block per bounce from
+    the winner kernel's stats counters (bvh_winner_kernel stats=True) on a
+    1-sample wavefront — the round-over-round instrument for the
+    stress-mesh efficiency push (walked ~ slab-test iterations, evaluated
+    ~ Havel tile evaluations; the reference's stack walk visits tens of
+    triangles per ray, CUDAPathTracer.cu:275-345)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracingthenextweekcuda_tpu.config import INFINITY
+    from raytracingthenextweekcuda_tpu.models import camera as camera_mod
+    from raytracingthenextweekcuda_tpu.models import integrator
+    from raytracingthenextweekcuda_tpu.ops import rng
+    from raytracingthenextweekcuda_tpu.ops.pallas.bvh_winner_kernel import (
+        intersect_packed_bvh,
+    )
+    from raytracingthenextweekcuda_tpu.ops.pallas.intersect_kernel import (
+        BIG,
+        intersect_packed,
+    )
+    from raytracingthenextweekcuda_tpu.ops.wavefront_sort import (
+        DEAD_KEY,
+        ray_sort_key,
+    )
+
+    packed = scene.packed
+    frame = camera_mod.derive(camera, cfg.aspect_ratio)
+    rays, ctx = camera_mod.generate_rays(
+        frame, jax.random.key(cfg.seed), cfg.width, cfg.height)
+    n = rays.count
+    dtype = rays.origin.dtype
+    state = (rays, jnp.ones((n, 3), dtype), jnp.zeros((n, 3), dtype),
+             jnp.ones((n,), bool))
+    lo = packed.bvh_bounds[0:3, 0]
+    hi = packed.bvh_bounds[3:6, 0]
+    out = {}
+    for b in range(bounces):
+        rays_b, alive = state[0], state[3]
+        if b > 0:  # production path sorts from the second bounce on
+            key = ray_sort_key(
+                rays_b.origin[:, 0], rays_b.origin[:, 1],
+                rays_b.origin[:, 2], rays_b.direction[:, 0],
+                rays_b.direction[:, 1], rays_b.direction[:, 2],
+                alive.astype(jnp.int32), lo, hi)
+            srt = jax.lax.sort(
+                (key, rays_b.origin[:, 0], rays_b.origin[:, 1],
+                 rays_b.origin[:, 2], rays_b.direction[:, 0],
+                 rays_b.direction[:, 1], rays_b.direction[:, 2],
+                 rays_b.time), num_keys=1, is_stable=False)
+            from raytracingthenextweekcuda_tpu.ops.rays import Rays
+
+            rays_b = Rays(origin=jnp.stack(srt[1:4], -1),
+                          direction=jnp.stack(srt[4:7], -1), time=srt[7])
+            alive = srt[0] != DEAD_KEY
+        t_sel, code = intersect_packed(rays_b, packed, cfg.tmin, True,
+                                       False, alive=alive,
+                                       include_triangles=False)
+        t_cap = jnp.where(code >= 0, t_sel, BIG)
+        _, _, (counts, st) = intersect_packed_bvh(
+            rays_b, packed, cfg.tmin, True, False, alive=alive,
+            t_cap=t_cap, stats=True)
+        counts = np.asarray(counts)
+        st = np.asarray(st)
+        nz = counts > 0
+        out[f"bounce{b}"] = {
+            "listed": round(float(counts[nz].mean()), 1) if nz.any() else 0,
+            "walked": round(float(st[nz, 0].mean()), 1) if nz.any() else 0,
+            "evaluated": round(float(st[nz, 1].mean()), 1) if nz.any() else 0,
+            "live_blocks": int(nz.sum()),
+        }
+        if b + 1 < bounces:
+            ctx_b = rng.RayCtx(
+                ctx.pixel_id, jnp.broadcast_to(ctx.base0, (n,)),
+                jnp.broadcast_to(ctx.base1, (n,)))
+            state = integrator._bounce_body(
+                scene, cfg, (rays_b, state[1], state[2], alive), ctx_b,
+                jnp.uint32(b))
+    return out
+
+
 def run_mesh_stress(
     width: int = 512, height: int = 512, spp: int = 32, bounces: int = 10,
     spp_per_pass: int = 16, sort_stride: int = 1, sort_rays: bool = True,
@@ -255,7 +346,7 @@ def run_mesh_stress(
     tris = int(scene.triangles.count)
     return _time_mesh_scene(scene, camera, width, height, spp, bounces,
                             spp_per_pass, sort_stride, tris, asset,
-                            sort_rays=sort_rays)
+                            sort_rays=sort_rays, stats_probe=True)
 
 
 def run_mesh_large(

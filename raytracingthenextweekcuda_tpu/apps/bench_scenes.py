@@ -12,12 +12,16 @@ import os
 
 _REF_RES = "/root/reference/RayTracingTheNextWeekCUDA/resources"
 
-# Published-benchmark suzanne placement (tuned against the reference's own
-# timed goldens, images/render_512x512_10bounces_32spp_*.png: the statue
-# sits centered on the floor between the metal/glass sphere pair; see
-# tests/test_oracle_crossval.py's suzanne-golden crossval).
-SUZANNE_OFFSET = (0.0, -0.29, -0.18)
-SUZANNE_MAX_COORD = 0.35
+# Published-benchmark suzanne placement, tuned against the reference's own
+# timed goldens (images/render_512x512_10bounces_32spp_*.png): the statue
+# floats centered between/behind the sphere pair with its center near
+# image center (pixel-measured: silhouette spans ~y 182-320 px of 512 ->
+# center ndc ~ 0). Placement sweep (center-region correlation vs the
+# golden, tools history): (0,-0.02,-0.25) mc 0.34 -> 0.80 vs 0.63 for the
+# old floor placement. Pinned by tests/test_oracle_crossval.py's
+# suzanne-golden crossval.
+SUZANNE_OFFSET = (0.0, -0.02, -0.25)
+SUZANNE_MAX_COORD = 0.34
 
 
 def reference_assets_present() -> bool:
@@ -27,49 +31,38 @@ def reference_assets_present() -> bool:
 def published_mesh_scene():
     """The reference's PUBLISHED mesh benchmark workload (3857.460 ms row).
 
-    Cornell walls + area light + metal & glass spheres (cornellbox2.yaml
-    under the reference's RUNTIME material slots, main.cu:643-651) plus the
-    ~967-triangle suzanne0.ply statue normalized onto the floor — the scene
-    the images/images.MD timing table measures (TriangleMesh.cu:34-117
-    brute loop, BOUNCES=10, 32 spp, 512x512). Falls back to a procedural
-    stand-in when /root/reference is not mounted.
+    Scene identification against the timed goldens
+    (images/render_512x512_10bounces_32spp*.png): the sphere placement in
+    every suzanne-series PNG matches cornellbox0.yaml exactly (metal at
+    (-0.225,-0.325,-0.25) r 0.175 resting near the floor, glass at
+    (0.275,-0.325,-0.125); cornellbox2's floating spheres do NOT match),
+    and the camera is cornellbox0's eye (0,0,1.25). So the published
+    workload = cornellbox0.yaml under the reference's RUNTIME material
+    slots (main.cu:643-651) + the ~967-triangle suzanne0.ply statue
+    centered between/behind the spheres — rendered by the brute Path-A
+    loop (TriangleMesh.cu:34-117), BOUNCES=10, 32 spp, 512x512. Falls
+    back to a procedural stand-in when /root/reference is not mounted.
     """
     from raytracingthenextweekcuda_tpu.models import presets
 
-    scene_yaml = f"{_REF_RES}/scenes/cornellbox2.yaml"
+    scene_yaml = f"{_REF_RES}/scenes/cornellbox0.yaml"
     suz_ply = f"{_REF_RES}/models/suzanne/suzanne0.ply"
     if os.path.exists(scene_yaml) and os.path.exists(suz_ply):
-        import tempfile
-
-        import yaml as yaml_mod
-
         from raytracingthenextweekcuda_tpu.io.ply import load_ply
         from raytracingthenextweekcuda_tpu.io.yaml_scene import (
             load_scene_builder,
         )
 
-        with open(scene_yaml) as f:
-            doc = yaml_mod.safe_load(f)
-        # The render-era images show no cube meshes; drop them.
-        doc["objects"] = [o for o in doc["objects"] if "mesh" not in o]
-        with tempfile.NamedTemporaryFile(
-            "w", suffix=".yaml", delete=False
-        ) as tmp:
-            yaml_mod.safe_dump(doc, tmp)
-            tmp_path = tmp.name
-        try:
-            builder, camera = load_scene_builder(
-                tmp_path, scene1_materials=True
-            )
-        finally:
-            os.unlink(tmp_path)
+        builder, camera = load_scene_builder(
+            scene_yaml, scene1_materials=True
+        )
         # White lambertian = materials[3] (createMesh binds materials[3]
         # regardless of YAML, main.cu:781).
         tris_arr = load_ply(suz_ply, offset=SUZANNE_OFFSET,
                             max_coord=SUZANNE_MAX_COORD)
         builder.mesh(tris_arr, 3)
         scene = builder.build()
-        asset = "cornellbox2 walls/spheres + suzanne0.ply (published bench)"
+        asset = "cornellbox0 walls/spheres + suzanne0.ply (published bench)"
     else:
         scene, camera = presets.mesh_showcase(n_lat=16, n_lon=32)
         asset = "procedural stand-in (reference not mounted)"

@@ -5,6 +5,33 @@ One typed config replaces the reference's three config tiers (compile-time
 YAML camera/object schema, ImGui sliders): everything is a runtime value here,
 and anything that changes traced shapes (width/height/spp/bounces) is a static
 field of the jitted render step.
+
+RTNW_* environment knobs (complete inventory; all are read at trace/pack
+time and baked into the jit cache — set them in a FRESH process for sweeps):
+
+Performance knobs (image-invariant; covered by tests/test_env_knobs.py):
+  RTNW_LEAF          tile-BVH leaf tile width in triangles (default 512 for
+                     meshes >= 16k triangles, else 128 — models/scene.py;
+                     measured sweep tools/sweep_stress.py).
+  RTNW_WINNER_BLOCK  winner-kernel consensus block size in rays (default
+                     128; ops/pallas/bvh_winner_kernel.py).
+  RTNW_WL_FRUSTUM    1/0 force the packet-frustum work-list build on/off
+                     (default: auto above FRUSTUM_LEAF_THRESHOLD leaves).
+  RTNW_STREAM_BYTES  VMEM-residency threshold in bytes for the winner
+                     kernel's Havel rows; larger scenes stream via DMA.
+
+Ablation/debug flags (some render a WRONG image and warn loudly):
+  RTNW_NO_PRUNE        disable the per-leaf slab re-check + occlusion
+                       horizon (correct image, slower — ablation).
+  RTNW_DEBUG_WL_ONLY   build work lists but skip the winner kernel
+                       (WRONG image; isolates list-build cost).
+  RTNW_DEBUG_SKIP_MESH skip the mesh branch of the fused intersect
+                       (WRONG image; times sort+analytic+shade).
+  RTNW_SKIP_RESOLVE    skip the megastep's winner-attribute resolution
+                       sweep (WRONG image; timing probe).
+
+Tool-only variables (consumed by tools/run_mesh_bench.py, never by the
+library): RTNW_SORT_STRIDE, RTNW_SORT_RAYS, RTNW_MESH_ONLY.
 """
 
 from __future__ import annotations

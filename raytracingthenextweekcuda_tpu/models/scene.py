@@ -85,9 +85,19 @@ def finalize(scene: Scene, use_bvh: bool | None = None,
         # otherwise; content-hash disk cache either way (BVH.cpp:500-554).
         import os
 
+        # Leaf tile width: the winner kernel's per-leaf cost is one scalar
+        # while_loop iteration (slab gate + cond) vs one (block, tile)
+        # Havel evaluation — on big meshes the ITERATION overhead
+        # dominates, so wider leaves win despite more triangle tests
+        # (measured on the 46k-tri materialball stress bench, v5e
+        # 512x512x32spp: leaf 128 = 6520 ms, 256 = 5206, 512 = 5150 —
+        # tools/sweep_stress.py). Small meshes keep narrow leaves (fewer
+        # wasted tests; at 967 tris the whole mesh is a few tiles either
+        # way). RTNW_LEAF overrides.
+        default_leaf = 512 if scene.triangles.count >= 16384 else 128
         tile_bvh = build_or_load_tile_bvh(
             np.asarray(jax.device_get(tri.vertices)),
-            leaf_size=int(os.environ.get("RTNW_LEAF", "128")),
+            leaf_size=int(os.environ.get("RTNW_LEAF", default_leaf)),
         )
         perm = tile_bvh.perm
         valid = perm >= 0

@@ -285,7 +285,7 @@ def _winner_kernel(
             ts_i = lt_ref[0, l_i]
             slot = jax.lax.rem(i, 2)
             pltpu.make_async_copy(
-                trih_ref.at[:, pl.ds(pl.multiple_of(ts_i, 128), tile)],
+                trih_ref.at[:, pl.ds(pl.multiple_of(ts_i, min(tile, 128)), tile)],
                 trih_buf_ref.at[slot],
                 dma_sem.at[slot],
             ).start()
@@ -295,7 +295,7 @@ def _winner_kernel(
             l_i = wl_ref[0, 0, jnp.minimum(i, n_list - 1)]
             ts_i = lt_ref[0, l_i]
             pltpu.make_async_copy(
-                trih_ref.at[:, pl.ds(pl.multiple_of(ts_i, 128), tile)],
+                trih_ref.at[:, pl.ds(pl.multiple_of(ts_i, min(tile, 128)), tile)],
                 trih_buf_ref.at[slot],
                 dma_sem.at[slot],
             ).wait()
@@ -304,7 +304,7 @@ def _winner_kernel(
             start_dma(jnp.int32(0))
 
         def hav_resident(row, ts):
-            return trih_ref[row, pl.ds(pl.multiple_of(ts, 128), tile)][
+            return trih_ref[row, pl.ds(pl.multiple_of(ts, min(tile, 128)), tile)][
                 None, None, :
             ]
 

@@ -215,18 +215,15 @@ def run_mesh_bench(
         (main.cu:172) and has NO published timing.
 
     So the published 2.17 M paths/s is: Cornell walls + area light +
-    metal & glass spheres + a ~967-tri mesh, 512x512, 32 spp, 10 bounces.
-    This bench reproduces that workload class — cornellbox2.yaml under the
-    reference's RUNTIME material semantics (pre-created slots 0-8,
-    main.cu:643-651: emissive light intensity 5, white-metal + glass
-    spheres; the render-era images show no cube meshes, so those are
-    dropped) plus suzanne0.ply normalized into the box (exact placement
-    is unrecorded in the reference; loadModel suzanne lines are commented
-    out, main.cu:670) — rendered through our tile-BVH winner path.
-
-    Falls back to a procedural stand-in when /root/reference is missing.
-    Scene construction lives in apps/bench_scenes.published_mesh_scene so
-    tests (the suzanne-golden crossval) bench the EXACT benched scene.
+    metal & glass spheres + the suzanne statue, 512x512, 32 spp,
+    10 bounces — identified as cornellbox0.yaml + suzanne0.ply by
+    matching the timed golden PNGs (see
+    apps/bench_scenes.published_mesh_scene, which builds the scene, and
+    tests/test_oracle_crossval.test_published_bench_scene_vs_timed_golden_png,
+    which pins this bench's composition + radiometry against the
+    reference's own committed golden). Rendered through our tile-BVH
+    winner path; falls back to a procedural stand-in when /root/reference
+    is missing.
     """
     from raytracingthenextweekcuda_tpu.apps.bench_scenes import (
         published_mesh_scene,

@@ -10,9 +10,8 @@ RTNW_* environment knobs (complete inventory; all are read at trace/pack
 time and baked into the jit cache — set them in a FRESH process for sweeps):
 
 Performance knobs (image-invariant; covered by tests/test_env_knobs.py):
-  RTNW_LEAF          tile-BVH leaf tile width in triangles (default 512 for
-                     meshes >= 16k triangles, else 128 — models/scene.py;
-                     measured sweep tools/sweep_stress.py).
+  RTNW_LEAF          tile-BVH leaf tile width in triangles (default 768 —
+                     models/scene.py; measured sweep tools/sweep_stress.py).
   RTNW_WINNER_BLOCK  winner-kernel consensus block size in rays (default
                      128; ops/pallas/bvh_winner_kernel.py).
   RTNW_WL_FRUSTUM    1/0 force the packet-frustum work-list build on/off

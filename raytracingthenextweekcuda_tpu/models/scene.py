@@ -87,14 +87,15 @@ def finalize(scene: Scene, use_bvh: bool | None = None,
 
         # Leaf tile width: the winner kernel's per-leaf cost is one scalar
         # while_loop iteration (slab gate + cond) vs one (block, tile)
-        # Havel evaluation — on big meshes the ITERATION overhead
-        # dominates, so wider leaves win despite more triangle tests
-        # (measured on the 46k-tri materialball stress bench, v5e
-        # 512x512x32spp: leaf 128 = 6520 ms, 256 = 5206, 512 = 5150 —
-        # tools/sweep_stress.py). Small meshes keep narrow leaves (fewer
-        # wasted tests; at 967 tris the whole mesh is a few tiles either
-        # way). RTNW_LEAF overrides.
-        default_leaf = 512 if scene.triangles.count >= 16384 else 128
+        # Havel evaluation — the ITERATION overhead dominates well past a
+        # lane-tile, so wide leaves win despite more triangle tests.
+        # Measured on the 46k-tri materialball stress bench (v5e,
+        # 512x512x32spp, tools/sweep_stress.py): leaf 128 = 6520 ms,
+        # 256 = 5206, 384 = 4991, 512 = 5150, 768 = 4643 (optimum),
+        # 1024 = 4819, 1536 = 5191; the 967-tri suzanne parity bench
+        # agrees (768-wide 1990 ms, 512-wide 2166, 128-wide 2498).
+        # RTNW_LEAF overrides.
+        default_leaf = 768
         tile_bvh = build_or_load_tile_bvh(
             np.asarray(jax.device_get(tri.vertices)),
             leaf_size=int(os.environ.get("RTNW_LEAF", default_leaf)),

@@ -80,11 +80,16 @@ def ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi) -> jnp.ndarray:
     )
     import os
 
-    extra_dir = int(os.environ.get("RTNW_KEY_DIRBITS", "0"))
+    # Refine each octant by quantizing |direction| components (2 extra
+    # bits per axis ahead of the position morton): tighter directional
+    # clustering shrinks the per-block leaf lists more than the 6
+    # sacrificed position bits grow them — measured on the materialball
+    # stress bench (v5e, 512x512x32spp, leaf 768): dirbits 0 = 4643 ms,
+    # dirbits 2 = 4500 ms, listed leaves/block 21.7 -> 14.9 at bounce 1.
+    # Baked at trace time (run sweeps in a fresh process); RTNW_KEY_DIRBITS
+    # overrides, 0 disables.
+    extra_dir = int(os.environ.get("RTNW_KEY_DIRBITS", "2"))
     if extra_dir:
-        # Experimental: refine each octant by quantizing |direction|
-        # components (1-2 extra bits per axis ahead of the position
-        # morton). Trades positional block coherence for directional.
         for axis_d in (dx, dy, dz):
             q = jnp.clip(
                 (jnp.abs(axis_d) * (1 << extra_dir)).astype(jnp.int32),

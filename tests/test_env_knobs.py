@@ -67,3 +67,22 @@ def test_leaf_size_is_image_invariant(leaf, monkeypatch):
         == leaf
     img = _render(scene)
     np.testing.assert_allclose(img, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("dirbits", [0, 3])
+def test_key_dirbits_is_image_invariant(dirbits, monkeypatch):
+    """RTNW_KEY_DIRBITS reshuffles the coherence-sort key only (sorting is
+    a permutation and the per-pixel counter RNG rides it), so any setting
+    renders bit-identically to the default. The flag is read at TRACE
+    time, so the cache is cleared to force a retrace under the new value
+    (same reason sweeps need fresh processes)."""
+    scene = finalize(_mesh_scene(), use_bvh=True)
+    ref = _render(scene)
+    monkeypatch.setenv("RTNW_KEY_DIRBITS", str(dirbits))
+    jax.clear_caches()
+    try:
+        img = _render(scene)
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+    np.testing.assert_array_equal(img, ref)

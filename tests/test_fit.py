@@ -69,7 +69,7 @@ def test_fit_mesh_recovers_deformation():
 
     with tempfile.TemporaryDirectory() as d:
         rc = run_fit_mesh(
-            steps=24, out=os.path.join(d, "fit_mesh.png"), width=48,
+            steps=32, out=os.path.join(d, "fit_mesh.png"), width=48,
             height=48, spp=4, refresh=8, verbose=False,
         )
     assert rc == 0

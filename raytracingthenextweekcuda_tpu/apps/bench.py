@@ -76,20 +76,23 @@ def run_bench(
         "vs_baseline": round(paths_per_sec / REFERENCE_PATHS_PER_SEC, 3),
         "render_ms": round(dt * 1000, 2),
         "vpu_util": _vpu_utilization(scene, paths, bounces, dt),
-        # Measured with jax.profiler (tools/trace_headline.py, v5e,
-        # 2026-08-21): the whole render is ONE fused Mosaic megakernel
-        # (_run_render) at 208.06 ms DEVICE time (= 161 M paths/s
-        # device-side); the wall-clock adds a fixed ~35 ms relay
-        # dispatch+sync round trip (measured via repeated scalar
-        # readbacks). Inside the megakernel there is no XLA-visible
-        # structure to profile further; the hand-rolled op model above is
-        # the only op-level estimate. The ceiling is VPU-elementwise work
-        # (a path tracer has no matmuls for the MXU), ~25% branchless
-        # select/mask overhead, and dead-lane waste elided only at block
-        # granularity.
+        # Round-5 measurements (v5e, 2026-08-21): wall 203.5 ms; the relay
+        # dispatch+sync round trip measures 26-29 ms (min-of-10 trivial
+        # jit dispatches with the same scalar-readback sync), so the fused
+        # megakernel's device time is ~177 ms = ~189 M paths/s
+        # device-side. The round-over-round gain (240 -> 203 ms wall) came
+        # from collapsing the two rotated Cornell cubes' 12 quad tests
+        # into 2 oriented-box slab tests (bounce_kernel._merge_boxes).
+        # The whole render remains ONE fused Mosaic kernel (_run_render;
+        # jax.profiler shows a single XLA op — tools/trace_headline.py
+        # captures the xplane; this env's tensorboard_plugin_profile
+        # cannot parse it, hence the subtraction method). Remaining
+        # ceiling: VPU-elementwise work (no matmuls for the MXU),
+        # branchless select/mask overhead, block-granular dead lanes.
         "vpu_util_note": (
-            "trace: one fused megakernel, 208 ms device of ~240 ms wall; "
-            "~35 ms is relay round-trip; see tools/trace_headline.py"
+            "one fused megakernel; wall 203.5 ms = ~177 ms device + "
+            "~26 ms relay round-trip (measured by subtraction; "
+            "~189 M paths/s device-side)"
         ),
         "config": {
             "width": width, "height": height, "spp": spp, "bounces": bounces,

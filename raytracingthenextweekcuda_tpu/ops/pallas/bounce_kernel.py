@@ -516,6 +516,7 @@ def _bounce_core(
     n_box: int, n_bvh_nodes: int, tmin: float,
     backface_cull: bool, sky: bool, used_kinds, russian_roulette: bool,
     additive_emission: bool, sb: int, pb: int, tb: int,
+    leaf_tile: int = 128,
 ):
     """One whole bounce on in-register wavefront values.
 
@@ -942,9 +943,18 @@ def _bounce_core(
                 is_leaf = bvh_m_ref[0, node] == 1
                 tile = bvh_m_ref[1, node]
                 skip = bvh_m_ref[2, node]
+                def visit_leaf_chunks(a):
+                    # Leaves are `leaf_tile` triangles wide; the Havel
+                    # eval is one 128-lane tile, so wide leaves visit
+                    # their 128-wide chunks in a static unroll (w_tile
+                    # records the winning CHUNK start in triangle units).
+                    for sub in range(leaf_tile // 128):
+                        a = leaf_visit(tile + 128 * sub, node_hit, *a)
+                    return a
+
                 best_t, w_tile, w_lane = jax.lax.cond(
                     any_hit & is_leaf,
-                    lambda a: leaf_visit(tile, node_hit, *a),
+                    visit_leaf_chunks,
                     lambda a: a,
                     (best_t, w_tile, w_lane),
                 )
@@ -1008,9 +1018,14 @@ def _bounce_core(
                 # w_tile is -1 for rays the mesh did not win (t_lo >= 0).
                 inb = (w_tile >= t_lo) & (w_tile < t_hi)
                 any_in = jnp.any(inb)
+                def resolve_leaf_chunks(a):
+                    for sub in range(leaf_tile // 128):
+                        a = resolve(tile + 128 * sub, a)
+                    return a
+
                 attr = jax.lax.cond(
                     any_in & is_leaf,
-                    lambda a: resolve(tile, a),
+                    resolve_leaf_chunks,
                     lambda a: a,
                     attr,
                 )
@@ -1502,13 +1517,14 @@ def _render_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "tmin",
+    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "leaf_tile", "tmin",
                      "backface_cull", "sky", "used_kinds",
                      "russian_roulette", "additive_emission", "interpret"),
 )
 def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
                 base_rows, n_bvh_nodes, tmin, backface_cull, sky, used_kinds,
-                russian_roulette, additive_emission, interpret):
+                russian_roulette, additive_emission, interpret,
+                leaf_tile=128):
     (ox, oy, oz, dx, dy, dz, tm, alive, tpx, tpy, tpz, rx, ry, rz) = ray_state
     sph, pla, tri, trih, quad, box, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
@@ -1527,6 +1543,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
         additive_emission=additive_emission,
         sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
+        leaf_tile=leaf_tile,
     )
     ray_spec = pl.BlockSpec(
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1566,7 +1583,7 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "tmin",
+    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "leaf_tile", "tmin",
                      "backface_cull", "sky", "used_kinds",
                      "russian_roulette", "additive_emission",
                      "bounces", "rr_start", "interpret"),
@@ -1574,7 +1591,8 @@ def _run_bounce(ray_state, u4, do_rr, packed_arrays, counts, hcounts,
 def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
               packed_arrays, counts, hcounts, base_rows, n_bvh_nodes, tmin,
               backface_cull, sky, used_kinds, russian_roulette,
-              additive_emission, bounces, rr_start, interpret):
+              additive_emission, bounces, rr_start, interpret,
+              leaf_tile=128):
     sph, pla, tri, trih, quad, box, bvh_b, bvh_m = packed_arrays
     n = ox.shape[0]
     n_blocks = n // RAY_BLOCK
@@ -1593,6 +1611,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
         additive_emission=additive_emission,
         sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
+        leaf_tile=leaf_tile,
     )
     ray_spec = pl.BlockSpec(
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1623,7 +1642,7 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes",
+    static_argnames=("counts", "hcounts", "base_rows", "n_bvh_nodes", "leaf_tile",
                      "n_samples",
                      "width", "height", "tmin", "backface_cull", "sky",
                      "used_kinds", "russian_roulette", "additive_emission",
@@ -1632,7 +1651,8 @@ def _run_path(pid, ox, oy, oz, dx, dy, dz, tmv, alive, bases,
 def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
                 hcounts, base_rows, n_bvh_nodes, n_samples, width, height,
                 tmin, backface_cull, sky, used_kinds, russian_roulette,
-                additive_emission, bounces, rr_start, interpret):
+                additive_emission, bounces, rr_start, interpret,
+                leaf_tile=128):
     sph, pla, tri, trih, quad, box, bvh_b, bvh_m = packed_arrays
     n = pid.shape[0]
     n_blocks = n // RAY_BLOCK
@@ -1652,6 +1672,7 @@ def _run_render(pid, xs, ys, alive, bases, frame, packed_arrays, counts,
         used_kinds=used_kinds, russian_roulette=russian_roulette,
         additive_emission=additive_emission,
         sb=base_rows[0], pb=base_rows[1], tb=base_rows[2],
+        leaf_tile=leaf_tile,
     )
     ray_spec = pl.BlockSpec(
         (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1724,7 +1745,12 @@ def _scene_arrays(packed_shaded):
         triangles = triangles[:, :1]
     arrays = (packed_shaded.spheres, packed_shaded.planes,
               triangles, trih, quadh, boxh, bvh_b, bvh_m)
-    return arrays, n_bvh_nodes, hcounts
+    # Static leaf tile width of the consensus-traversal path (wide leaves
+    # are visited in 128-wide chunks inside the kernel).
+    lt = getattr(packed_shaded, "leaf_tiles", None)
+    leaf_tile = (int(packed_shaded.trih.shape[1] // lt.shape[1])
+                 if n_bvh_nodes and lt is not None else 128)
+    return arrays, n_bvh_nodes, hcounts, leaf_tile
 
 
 def render_samples(scene, packed_shaded, frame, sample_keys, cfg,
@@ -1751,7 +1777,7 @@ def render_samples(scene, packed_shaded, frame, sample_keys, cfg,
         packed_shaded.planes.shape[0] - MAT_ROWS,
         packed_shaded.triangles.shape[0] - MAT_ROWS,
     )
-    scene_arrays, n_bvh_nodes, hcounts = _scene_arrays(packed_shaded)
+    scene_arrays, n_bvh_nodes, hcounts, leaf_tile = _scene_arrays(packed_shaded)
 
     pid = pad(pixel_ids).astype(jnp.int32)
     xs = (pixel_ids % cfg.width).astype(jnp.float32)
@@ -1774,6 +1800,7 @@ def render_samples(scene, packed_shaded, frame, sample_keys, cfg,
         bool(cfg.russian_roulette),
         bool(getattr(packed_shaded, "has_emission", True)),
         int(cfg.bounces), int(cfg.rr_start_bounce), bool(interpret),
+        leaf_tile=leaf_tile,
     )
     return jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
 
@@ -1797,7 +1824,7 @@ def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
         packed_shaded.planes.shape[0] - MAT_ROWS,
         packed_shaded.triangles.shape[0] - MAT_ROWS,
     )
-    scene_arrays, n_bvh_nodes, hcounts = _scene_arrays(packed_shaded)
+    scene_arrays, n_bvh_nodes, hcounts, leaf_tile = _scene_arrays(packed_shaded)
 
     pid = pad(ctx.pixel_id).astype(jnp.int32)
     alive = pad(jnp.ones((n,), jnp.int32))
@@ -1826,6 +1853,7 @@ def path_trace(scene, packed_shaded, rays, ctx, cfg, interpret=False):
         bool(cfg.russian_roulette),
         bool(getattr(packed_shaded, "has_emission", True)),
         int(cfg.bounces), int(cfg.rr_start_bounce), bool(interpret),
+        leaf_tile=leaf_tile,
     )
     return jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
 
@@ -1903,7 +1931,7 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
         packed_shaded.planes.shape[0] - MAT_ROWS,
         packed_shaded.triangles.shape[0] - MAT_ROWS,
     )
-    scene_arrays, n_bvh_nodes, hcounts = _scene_arrays(packed_shaded)
+    scene_arrays, n_bvh_nodes, hcounts, leaf_tile = _scene_arrays(packed_shaded)
     state, u4, arrays = _forward_only((state, u4, scene_arrays))
     tm = state[6]
     outs = _run_bounce(
@@ -1916,6 +1944,7 @@ def bounce_step(scene, packed_shaded, state, u4, do_rr, cfg, interpret=False):
         bool(cfg.russian_roulette),
         bool(getattr(packed_shaded, "has_emission", True)),
         bool(interpret),
+        leaf_tile=leaf_tile,
     )
     (ox, oy, oz, dx, dy, dz, tpx, tpy, tpz, rx, ry, rz, alive_i) = outs
     return (ox, oy, oz, dx, dy, dz, tm, alive_i,

@@ -88,12 +88,15 @@ def test_sort_key_dead_rays_last_and_octant_major():
     assert neg.min() > pos.max()
 
 
-def test_sort_key_live_ray_never_equals_dead_key():
-    """Worst-case live key: root-missing (bit 30), all-negative octant
-    (bits 27-29), origin clip-quantized to 511 on all axes — the raw bit
-    pattern is exactly DEAD_KEY. The clamp must keep it strictly below the
-    sentinel, or _trace_sorted's alive reconstruction (key != DEAD_KEY)
-    silently kills the ray mid-trace."""
+def test_sort_key_live_ray_never_equals_dead_key(monkeypatch):
+    """Worst-case live key: root-missing (bit 30), all-negative octant,
+    maximal refinement/morton bits — the raw bit pattern can reach exactly
+    DEAD_KEY. The clamp must keep it strictly below the sentinel, or
+    _trace_sorted's alive reconstruction (key != DEAD_KEY) silently kills
+    the ray mid-trace. Checked at dirbits=0 (where the all-ones pattern is
+    reachable and must clamp to DEAD_KEY-1) and at the default refinement
+    (strictly below the sentinel for adversarial inputs — including
+    non-unit directions that max the |d| quantizer on every axis)."""
     lo = jnp.asarray([0.0, 0.0, 0.0])
     hi = jnp.asarray([1.0, 1.0, 1.0])
     # Far beyond the box max corner on every axis; direction all-negative
@@ -101,13 +104,20 @@ def test_sort_key_live_ray_never_equals_dead_key():
     ox = jnp.asarray([100.0])
     oy = jnp.asarray([100.0])
     oz = jnp.asarray([100.0])
-    dx = jnp.asarray([-1.0])
-    dy = jnp.asarray([-1e-3])
-    dz = jnp.asarray([-1e-3])
     alive = jnp.asarray([1], jnp.int32)
-    key = np.asarray(ray_sort_key(ox, oy, oz, dx, dy, dz, alive, lo, hi))
+
+    monkeypatch.setenv("RTNW_KEY_DIRBITS", "0")
+    key = np.asarray(ray_sort_key(
+        ox, oy, oz, jnp.asarray([-1.0]), jnp.asarray([-1e-3]),
+        jnp.asarray([-1e-3]), alive, lo, hi))
     assert key[0] == DEAD_KEY - 1  # clamped, still sorts last among live
-    assert key[0] != DEAD_KEY
+
+    monkeypatch.undo()  # default refinement (ray_sort_key reads env per call)
+    for d in ((-1.0, -1e-3, -1e-3), (-5.0, -5.0, -5.0)):
+        key = np.asarray(ray_sort_key(
+            ox, oy, oz, jnp.asarray([d[0]]), jnp.asarray([d[1]]),
+            jnp.asarray([d[2]]), alive, lo, hi))
+        assert 0 <= key[0] < DEAD_KEY
 
 
 def test_sort_wavefront_roundtrip_permutation():

@@ -189,8 +189,16 @@ def _winner_kernel(
     trih_ref,
     t_ref, code_ref, *rest,
     tmin: float, backface_cull: bool, tile: int, prune: bool,
+    rows: int, sub: int,
     stats: bool = False, stream: bool = False,
 ):
+    """One grid step serves `sub` consecutive ray blocks, each with its
+    OWN 128-ray-granular work list, walked sequentially. Tight per-block
+    lists keep the walk short (the round-4 block-size sweeps showed
+    128-ray consensus wins), while batching amortizes the per-grid-step
+    fixed cost (pipeline prologue + block fetch), which dominates when
+    lists are short — measured ~4-6 us/step vs ~1-2 us of useful eval on
+    the 46k-tri stress scene's primary bounce."""
     # Trailing refs: [stats out] + [trih VMEM double-buffer, DMA sems]
     # (outputs come before scratch in the pallas calling convention).
     idx = 0
@@ -200,17 +208,38 @@ def _winner_kernel(
         idx += 1
     if stream:
         trih_buf_ref, dma_sem = rest[idx], rest[idx + 1]
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    alive = alive_ref[0] != 0
-    shape = ox.shape  # (ROWS, 128)
-    count = cnt_ref[0, 0, 0]
-    if stats_ref is not None:
-        stats_ref[0, 0, 0] = 0
-        stats_ref[0, 0, 1] = 0
 
-    t_ref[0] = jnp.full(shape, BIG, jnp.float32)
-    code_ref[0] = jnp.full(shape, -1, jnp.int32)
+    for s in range(sub):
+        _winner_sub(
+            cnt_ref, wl_ref, entry_ref, root_ref, lb_ref, lt_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref,
+            tcap_ref, trih_ref, t_ref, code_ref, stats_ref,
+            trih_buf_ref if stream else None,
+            dma_sem if stream else None,
+            s=s, rows=rows, tmin=tmin, backface_cull=backface_cull,
+            tile=tile, prune=prune, stream=stream,
+        )
+
+
+def _winner_sub(
+    cnt_ref, wl_ref, entry_ref, root_ref, lb_ref, lt_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref, tcap_ref,
+    trih_ref, t_ref, code_ref, stats_ref, trih_buf_ref, dma_sem,
+    *, s: int, rows: int, tmin: float, backface_cull: bool, tile: int,
+    prune: bool, stream: bool,
+):
+    r0, r1 = s * rows, (s + 1) * rows
+    ox, oy, oz = ox_ref[0, r0:r1], oy_ref[0, r0:r1], oz_ref[0, r0:r1]
+    dx, dy, dz = dx_ref[0, r0:r1], dy_ref[0, r0:r1], dz_ref[0, r0:r1]
+    alive = alive_ref[0, r0:r1] != 0
+    shape = ox.shape  # (rows, 128)
+    count = cnt_ref[0, s, 0]
+    if stats_ref is not None:
+        stats_ref[0, s, 0] = 0
+        stats_ref[0, s, 1] = 0
+
+    t_ref[0, r0:r1] = jnp.full(shape, BIG, jnp.float32)
+    code_ref[0, r0:r1] = jnp.full(shape, -1, jnp.int32)
 
     @pl.when(jnp.any(alive) & (count > 0))
     def _():
@@ -266,7 +295,7 @@ def _winner_kernel(
         # origin magnitude, so their absolute errors track each other
         # through the shared tfr magnitude.
         exit_pad = tfr * (1.0 + 1e-5) + 1e-4
-        ceil0 = jnp.minimum(tcap_ref[0], jnp.maximum(exit_pad, 0.0))
+        ceil0 = jnp.minimum(tcap_ref[0, r0:r1], jnp.maximum(exit_pad, 0.0))
 
         def horizon(best_t):
             return jnp.max(
@@ -280,8 +309,11 @@ def _winner_kernel(
         # walked leaf's tile is prefetched (waits are unconditional so
         # buffer reuse never races an in-flight copy); bandwidth is
         # ~walked x 12 x tile x 4 B per block — noise next to eval time.
+        # Buffers are shared across the step's sub-blocks: each copy is
+        # awaited before its slot is reused, and every sub-block drains
+        # its last in-flight prefetch before the next sub-block starts.
         def start_dma(i):
-            l_i = wl_ref[0, 0, jnp.minimum(i, n_list - 1)]
+            l_i = wl_ref[0, s, jnp.minimum(i, n_list - 1)]
             ts_i = lt_ref[0, l_i]
             slot = jax.lax.rem(i, 2)
             pltpu.make_async_copy(
@@ -292,7 +324,7 @@ def _winner_kernel(
 
         def wait_dma(i):
             slot = jax.lax.rem(i, 2)
-            l_i = wl_ref[0, 0, jnp.minimum(i, n_list - 1)]
+            l_i = wl_ref[0, s, jnp.minimum(i, n_list - 1)]
             ts_i = lt_ref[0, l_i]
             pltpu.make_async_copy(
                 trih_ref.at[:, pl.ds(pl.multiple_of(ts_i, min(tile, 128)), tile)],
@@ -310,7 +342,7 @@ def _winner_kernel(
 
         def body(carry):
             i, best_t, code, tmax = carry
-            l = wl_ref[0, 0, i]
+            l = wl_ref[0, s, i]
             if stream:
                 # Overlap: kick off the next leaf's copy, then block on
                 # this leaf's (usually already complete).
@@ -330,7 +362,7 @@ def _winner_kernel(
                 # Slab re-check against the LIVE best_t: front-to-back
                 # order turns this into occlusion pruning — leaves fully
                 # behind every ray's current hit are skipped with one
-                # cheap (ROWS, 128) test.
+                # cheap (rows, 128) test.
                 t0 = (lb_ref[0, l] - ox) * inv_dx
                 t1 = (lb_ref[3, l] - ox) * inv_dx
                 tn = jnp.minimum(t0, t1)
@@ -372,7 +404,7 @@ def _winner_kernel(
                     & (o1(node_hit.astype(jnp.int32)) != 0)
                 )
                 t_masked = jnp.where(hit, t, BIG)
-                tile_best = jnp.min(t_masked, axis=-1)       # (ROWS, 128)
+                tile_best = jnp.min(t_masked, axis=-1)       # (rows, 128)
                 improved = tile_best < best_t
                 is_best = hit & (t_masked <= o1(tile_best))
                 win_lane = jnp.min(
@@ -387,11 +419,11 @@ def _winner_kernel(
                 )
 
             if stats_ref is not None:
-                stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
+                stats_ref[0, s, 0] = stats_ref[0, s, 0] + 1
 
             def eval_and_count(c):
                 if stats_ref is not None:
-                    stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
+                    stats_ref[0, s, 1] = stats_ref[0, s, 1] + 1
                 return eval_tile(c)
 
             if not prune:
@@ -417,10 +449,10 @@ def _winner_kernel(
             # so a ray's tn for ANY remaining leaf is >= entry[i]. Once
             # entry[i] >= every live ray's search ceiling, no remaining
             # leaf can produce a closer hit — stop the walk.
-            nxt = entry_ref[0, 0, jnp.minimum(i, n_list - 1)]
+            nxt = entry_ref[0, s, jnp.minimum(i, n_list - 1)]
             return (i < count) & (nxt < tmax)
 
-        init_t = tcap_ref[0]  # analytic-occlusion ceiling (BIG if none)
+        init_t = tcap_ref[0, r0:r1]  # analytic-occlusion ceiling
         final_i, best_t, code, _ = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0),
@@ -436,8 +468,8 @@ def _winner_kernel(
             def _():
                 wait_dma(final_i)
 
-        t_ref[0] = jnp.where(code >= 0, best_t, BIG)
-        code_ref[0] = code
+        t_ref[0, r0:r1] = jnp.where(code >= 0, best_t, BIG)
+        code_ref[0, r0:r1] = code
 
 
 def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
@@ -519,6 +551,11 @@ def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
 # ray blocks (v5e VMEM ~16 MB); stream them from HBM per leaf instead.
 STREAM_TRIH_BYTES = 6 * 1024 * 1024
 
+# Ray blocks served per winner-kernel grid step (sequential walks over
+# per-block work lists): amortizes the fixed per-step cost that dominates
+# when lists are short. Wavefronts are padded to block*WINNER_SUB rays.
+WINNER_SUB = 4
+
 
 @functools.partial(
     jax.jit,
@@ -532,6 +569,11 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
     n = ox.shape[0]
     n_blocks = n // block
     rows = block // 128
+    # Sub-block batching: each grid step walks WINNER_SUB consecutive
+    # blocks' work lists sequentially (see _winner_kernel) — the caller
+    # pads the wavefront to a block*WINNER_SUB multiple.
+    sub = WINNER_SUB if n_blocks % WINNER_SUB == 0 else 1
+    n_steps = n_blocks // sub
     L = leaf_bounds.shape[1]
     # Large meshes: keep the Havel rows in HBM and double-buffer per-leaf
     # DMA inside the kernel (interpret mode has no DMA semantics — stay
@@ -547,30 +589,32 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
         trih = jnp.pad(trih, ((0, 4), (0, 0)))
 
     def rs(a):
-        return a.reshape(n_blocks, rows, 128)
+        return a.reshape(n_steps, sub * rows, 128)
 
     kern = functools.partial(
         _winner_kernel, tmin=tmin, backface_cull=backface_cull,
-        tile=tile, prune=prune, stats=stats, stream=stream,
+        tile=tile, prune=prune, rows=rows, sub=sub, stats=stats,
+        stream=stream,
     )
     ray_spec = pl.BlockSpec(
-        (1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, sub * rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
-    cnt_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+    cnt_spec = pl.BlockSpec((1, sub, 1), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
-    wl_spec = pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+    wl_spec = pl.BlockSpec((1, sub, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.SMEM)
 
     out_specs = [ray_spec, ray_spec]
     out_shape = [
-        jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks, rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps, sub * rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, sub * rows, 128), jnp.int32),
     ]
     if stats:  # profiling: per-block [walked, evaluated] leaf counters
-        out_specs.append(pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+        out_specs.append(pl.BlockSpec((1, sub, 2), lambda i: (i, 0, 0),
                                       memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((n_blocks, 1, 2), jnp.int32))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_steps, sub, 2), jnp.int32))
 
     trih_spec = pl.BlockSpec(
         memory_space=pltpu.ANY if stream else pltpu.VMEM
@@ -581,9 +625,12 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
         if stream else []
     )
 
+    def rs3(a):
+        return a.reshape(n_steps, sub, -1)
+
     out = pl.pallas_call(
         kern,
-        grid=(n_blocks,),
+        grid=(n_steps,),
         in_specs=(
             [cnt_spec, wl_spec, wl_spec, smem_all, smem_all, smem_all]
             + [ray_spec] * 8
@@ -594,12 +641,14 @@ def _run_winner(ray_comps, counts, order, entry, root_bounds, leaf_bounds,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
-        counts, order, entry, root_bounds, leaf_bounds, leaf_tiles,
+        rs3(counts), rs3(order), rs3(entry), root_bounds, leaf_bounds,
+        leaf_tiles,
         rs(ox), rs(oy), rs(oz), rs(dx), rs(dy), rs(dz), rs(alive), rs(tcap),
         trih,
     )
     if stats:
-        return out[0].reshape(n), out[1].reshape(n), out[2][:, 0, :]
+        return (out[0].reshape(n), out[1].reshape(n),
+                out[2].reshape(n_blocks, 2))
     return out[0].reshape(n), out[1].reshape(n)
 
 
@@ -654,7 +703,11 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
     block = int(os.environ.get("RTNW_WINNER_BLOCK", "128"))
     assert block % 128 == 0
     n = rays.origin.shape[0]
-    n_pad = ((n + block - 1) // block) * block
+    # Pad to a block*WINNER_SUB multiple so the kernel can batch
+    # WINNER_SUB blocks per grid step (padding rays are dead: their
+    # blocks carry empty work lists and skip instantly).
+    quant = block * WINNER_SUB
+    n_pad = ((n + quant - 1) // quant) * quant
 
     def pad(a, fill=0.0):
         return (

@@ -18,16 +18,20 @@ data-dependent part OUTSIDE the kernel, feed the kernel a dense work list.
      compact front-to-back leaf list + count per block.
   2. `_winner_kernel` (Pallas): per block, while_loop over ITS OWN leaf
      list (lengths from SMEM), terminating at the OCCLUSION HORIZON: the
-     sorted entry distances are compared against the block's live search
-     ceiling (per-ray best-hit, capped by the analytic-occlusion t and
-     the ray's root-box exit), so the walk stops as soon as no remaining
-     leaf can improve any ray — the wavefront analogue of the reference's
-     closest-hit distance pruning (CUDAPathTracer.cu:332-345). Each
-     listed leaf is additionally slab-RE-checked against the live best_t
-     and, if any ray can still improve, one vectorized (ROWS, 128, tile)
-     Havel tile evaluation updates (best_t, winner code). No tree walk,
-     no per-row conds, no attribute resolution: the kernel returns
-     (t, code) only, code = global padded-triangle column.
+     sorted entry distances are compared against the block's search
+     ceiling (the analytic-occlusion t_cap capped by each ray's root-box
+     exit, reduced ONCE per block — a static ceiling; dynamic per-eval
+     re-tightening from mesh best_t was a measured net loss, each update
+     costing a cross-lane max + vector->scalar sync), so the walk stops
+     once no remaining leaf can improve any ray — the wavefront analogue
+     of the reference's closest-hit distance pruning
+     (CUDAPathTracer.cu:332-345). The same ceiling also filters the list
+     AT BUILD TIME (build_worklist tcap). Each listed leaf is
+     additionally slab-RE-checked against the live best_t and, if any
+     ray can still improve, one vectorized (ROWS, 128, tile) Havel tile
+     evaluation updates (best_t, winner code). No tree walk, no per-row
+     conds, no attribute resolution: the kernel returns (t, code) only,
+     code = global padded-triangle column.
   3. Attributes/normals are gathered OUTSIDE by ops/fused.py's
      differentiable recompute — which makes this path the one that serves
      BOTH production forward rendering and inverse rendering on meshes
@@ -90,7 +94,8 @@ def use_frustum_worklist(n_leaves: int) -> bool:
     jax.jit, static_argnames=("tmin", "block", "interpret", "frustum")
 )
 def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
-                   block=RAY_BLOCK, interpret=False, frustum=False):
+                   block=RAY_BLOCK, interpret=False, frustum=False,
+                   tcap=None):
     """Per-block front-to-back leaf work lists (pure XLA).
 
     ox..dz, alive: (N,) planar rays, N a `block` multiple (pre-padded).
@@ -127,12 +132,15 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
             jnp.abs(d) < eps, jnp.where(d >= 0.0, eps, -eps), d
         )
 
+    if tcap is None:
+        tcap = jnp.full((n,), jnp.float32(BIG))
     if frustum:
         return _build_worklist_frustum(
-            ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin, block)
+            ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin, block,
+            tcap=tcap)
 
     def chunk_fn(args):
-        o3, d3, av = args  # (C, 3), (C, 3), (C,)
+        o3, d3, av, tc = args  # (C, 3), (C, 3), (C,), (C,)
         tn = jnp.full((o3.shape[0], L), -jnp.inf, jnp.float32)
         tf = jnp.full((o3.shape[0], L), jnp.inf, jnp.float32)
         for a in range(3):
@@ -141,7 +149,13 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
             t1 = (hi[a][None, :] - o3[:, a][:, None]) * inv
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hit = (tf >= tn) & (tf >= tmin) & av[:, None]
+        # tcap: per-ray analytic-occlusion ceiling (the kernel seeds
+        # best_t with it) — a leaf entered only BEHIND a ray's ceiling
+        # (tn > tcap) cannot yield a winning t < tcap for that ray, so it
+        # needn't be listed on the ray's account. Shifts the kernel's
+        # per-leaf occlusion skips into this wide vector pass: fewer walk
+        # iterations (each costs a scalar sync for the eval cond).
+        hit = (tf >= tn) & (tf >= tmin) & (tn <= tc[:, None]) & av[:, None]
         tnm = jnp.where(hit, tn, jnp.inf)
         c_blocks = o3.shape[0] // block
         hitb = hit.reshape(c_blocks, block, L).any(axis=1)
@@ -155,7 +169,7 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
     # of the block granularity.
     chunk_blocks = max(1, (_WL_CHUNK_BLOCKS * RAY_BLOCK) // block)
     if n_blocks <= chunk_blocks:
-        hitb, tnb = chunk_fn((o3, d3, av))
+        hitb, tnb = chunk_fn((o3, d3, av, tcap))
     else:
         # Pad the block count to a chunk multiple, map over chunks.
         n_chunks = -(-n_blocks // chunk_blocks)
@@ -170,7 +184,8 @@ def build_worklist(ox, oy, oz, dx, dy, dz, alive, leaf_bounds, tmin,
         o3p = padc(o3, (3,)).reshape(n_chunks, -1, 3)
         d3p = padc(d3, (3,)).reshape(n_chunks, -1, 3)
         avp = padc(av, ()).reshape(n_chunks, -1)
-        hitb, tnb = jax.lax.map(chunk_fn, (o3p, d3p, avp))
+        tcp = padc(tcap, ()).reshape(n_chunks, -1)
+        hitb, tnb = jax.lax.map(chunk_fn, (o3p, d3p, avp, tcp))
         hitb = hitb.reshape(-1, L)[:n_blocks]
         tnb = tnb.reshape(-1, L)[:n_blocks]
 
@@ -411,11 +426,18 @@ def _winner_sub(
                     jnp.where(is_best, lane, _LANE_MAX), axis=-1
                 )
                 best_t = jnp.where(improved, tile_best, best_t)
-                # Horizon shrinks only when a tile improved some ray.
+                # VMEM-resident: tmax rides unchanged — the walk ceiling
+                # is static (see cond); re-tightening it per eval from
+                # best_t costs a cross-lane max + vector->scalar sync, a
+                # measured net loss (1181 -> 1145 ms removing it, spp8
+                # stress bench) against ~2 gate-only tail iterations.
+                # STREAMING: keep the dynamic horizon — an exited leaf
+                # also skips its HBM DMA, which is worth the sync
+                # (mesh_large 1952 vs 2081 ms static).
                 return (
                     best_t,
                     jnp.where(improved, ts + win_lane, code),
-                    horizon(best_t),
+                    horizon(best_t) if stream else tmax,
                 )
 
             if stats_ref is not None:
@@ -448,7 +470,12 @@ def _winner_sub(
             # entry[b,i] = min over the block's rays of leaf i's slab tn,
             # so a ray's tn for ANY remaining leaf is >= entry[i]. Once
             # entry[i] >= every live ray's search ceiling, no remaining
-            # leaf can produce a closer hit — stop the walk.
+            # leaf can produce a closer hit — stop the walk. The ceiling
+            # is STATIC (one reduction per block from the analytic-
+            # occlusion seed + root exit): re-tightening it per eval from
+            # mesh best_t was measured a net LOSS at stress scale — each
+            # update is a cross-lane max + vector->scalar sync (~10 per
+            # block-bounce) to save ~2 gate-only tail iterations.
             nxt = entry_ref[0, s, jnp.minimum(i, n_list - 1)]
             return (i < count) & (nxt < tmax)
 
@@ -473,7 +500,7 @@ def _winner_sub(
 
 
 def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
-                            tmin, block):
+                            tmin, block, tcap=None):
     """Packet-frustum work lists: O(blocks x leaves) instead of
     O(rays x leaves).
 
@@ -538,6 +565,15 @@ def _build_worklist_frustum(ox, oy, oz, dx, dy, dz, alive, leaf_bounds,
         tf_hi = jnp.minimum(tf_hi, axis_max)
 
     hitb = (tf_hi >= tn_lo) & (tf_hi >= tmin) & any_alive[:, None]
+    if tcap is not None:
+        # Conservative per-block occlusion ceiling: tn_lo is a LOWER
+        # bound on every ray's leaf entry, so a leaf with tn_lo beyond
+        # the block's largest per-ray analytic-occlusion cap cannot yield
+        # a winning hit for any ray (the kernel seeds best_t with tcap).
+        tc_blk = jnp.max(
+            jnp.where(av.reshape(n_blocks, block), tcap.reshape(
+                n_blocks, block), -jnp.inf), axis=1)
+        hitb = hitb & (tn_lo <= tc_blk[:, None])
     key = jnp.where(hitb, tn_lo, jnp.inf)
     entry, order = jax.lax.sort(
         (key, jax.lax.broadcasted_iota(jnp.int32, (n_blocks, L), 1)),
@@ -734,6 +770,7 @@ def intersect_packed_bvh(rays, packed, tmin=EPSILON,
         *comps[:6], comps[6], sg(packed.leaf_bounds), tmin=float(tmin),
         block=block, interpret=bool(interpret),
         frustum=use_frustum_worklist(packed.leaf_bounds.shape[1]),
+        tcap=comps[7],
     )
     # Profiling ablation ONLY (wrong image): build the work lists but skip
     # the winner kernel — isolates list-build cost from kernel cost.

@@ -17,5 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RTNW_TEST_TPU=1 keeps the real backend so the TPU-gated tests (e.g. the
+# HBM-streaming DMA bit-identity check) actually run on a TPU host:
+#   RTNW_TEST_TPU=1 pytest tests/test_sorted_wavefront.py -k streaming
+if os.environ.get("RTNW_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

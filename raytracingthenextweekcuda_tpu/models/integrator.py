@@ -166,20 +166,26 @@ def _fused_eligible(scene: Scene, cfg: RenderConfig) -> bool:
 
 
 def _sorted_eligible(scene: Scene, cfg: RenderConfig) -> bool:
-    """Static test: tile-BVH scene rendered via the sorted XLA wavefront.
+    """Static test: tile-BVH scene rendered via the winner-kernel wavefront.
 
     Tile-BVH scenes bounce through the work-list winner kernel
     (ops/pallas/bvh_winner_kernel.py) inside the standard differentiable
     XLA bounce, with a coherence sort between bounces
     (ops/wavefront_sort.py): the per-block leaf work lists shrink only when
-    1024-ray blocks stay spatially coherent, and only re-sorted wavefronts
+    ray blocks stay spatially coherent, and only re-sorted wavefronts
     stay coherent past the first diffuse bounce. Unlike the fused megastep
     this path is differentiable, so it serves forward AND inverse rendering
     on meshes.
+
+    ALL tile-BVH scenes route here — cfg.sort_rays toggles only the
+    between-bounce sort, not the engine. (The megastep's in-kernel
+    consensus-BVH traversal remains as an independent oracle engine for
+    the cross-engine identity tests, but its wide-leaf tiles overflow
+    scoped VMEM on real TPUs at production sizes, so production never
+    routes to it for mesh scenes.)
     """
     return (
-        cfg.sort_rays
-        and scene.packed is not None
+        scene.packed is not None
         and getattr(scene.packed, "shaded", False)
         and getattr(scene.packed, "leaf_bounds", None) is not None
         and scene.bvh is None
@@ -318,7 +324,11 @@ def _trace_sorted(scene: Scene, rays: Rays, ctx, cfg: RenderConfig,
     stride = max(1, int(getattr(cfg, "sort_stride", 1)))
 
     def body(carry, bounce_idx):
-        if stride == 1:
+        if not cfg.sort_rays:
+            # Sort disabled: same engine, unsorted wavefront (lists are
+            # built from whatever spatial coherence the rays retain).
+            do = lambda c: step(c, bounce_idx)
+        elif stride == 1:
             do = lambda c: sort_then_step(c, bounce_idx)
         else:
             def do(c):
@@ -499,8 +509,16 @@ def render_pass(scene: Scene, camera: camera_mod.Camera, key, cfg: RenderConfig,
         # than riding the wavefront sort. Capped to bound HBM (14 planar
         # f32 rows per ray).
         n = cfg.num_pixels
-        group = max(1, min(samples, _SORT_WAVEFRONT_CAP // max(n, 1),
-                           _SORT_SAMPLE_GROUP_CAP))
+        # The multi-sample wavefront exists FOR the coherence sort (it
+        # clusters rays across samples); unsorted, grouping only inflates
+        # the per-bounce temporaries (measured: a 16-sample group's
+        # (N, k) winner-gather temps blow HBM at 512x512), so trace one
+        # sample per wavefront.
+        if not cfg.sort_rays:
+            group = 1
+        else:
+            group = max(1, min(samples, _SORT_WAVEFRONT_CAP // max(n, 1),
+                               _SORT_SAMPLE_GROUP_CAP))
         accum = jnp.zeros((n, 3), frame.origin.dtype)
         for start in range(0, samples, group):
             g = min(group, samples - start)

@@ -42,16 +42,27 @@ def _render(scene, camera, cfg):
     return np.asarray(integrator.render(scene, camera, cfg).accum)
 
 
-def test_sorted_matches_unsorted_megastep():
+def test_sorted_matches_unsorted_megastep(monkeypatch):
     scene, camera = _mesh_scene()
     assert scene.packed.bvh_bounds is not None
     base = dict(width=20, height=16, spp=2, bounces=4, spp_per_pass=2)
     img_sorted = _render(scene, camera, RenderConfig(**base, sort_rays=True))
+    # sort_rays=False stays on the winner engine (unsorted wavefront):
+    # pure sort-invariance — same per-ray math, same RNG stream.
     img_plain = _render(scene, camera, RenderConfig(**base, sort_rays=False))
     assert np.isfinite(img_sorted).all()
-    # Same per-ray math, same RNG stream, same accumulation order.
     np.testing.assert_allclose(img_sorted, img_plain, rtol=2e-6, atol=2e-6)
     assert img_sorted.mean() > 0.01
+    # Cross-ENGINE oracle: the megastep's in-kernel consensus-BVH
+    # traversal is an independently-implemented mesh engine (production
+    # routes all tile-BVH scenes to the winner path — integrator.
+    # _sorted_eligible); force it here so the two engines pin each other.
+    monkeypatch.setattr(integrator, "_sorted_eligible",
+                        lambda *_: False)
+    img_megastep = _render(
+        scene, camera, RenderConfig(**base, sort_rays=False))
+    np.testing.assert_allclose(img_sorted, img_megastep,
+                               rtol=2e-6, atol=2e-6)
 
 
 def test_sorted_matches_xla_wavefront_with_rr():

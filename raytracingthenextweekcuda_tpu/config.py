@@ -18,6 +18,13 @@ Performance knobs (image-invariant; covered by tests/test_env_knobs.py):
                      (default: auto above FRUSTUM_LEAF_THRESHOLD leaves).
   RTNW_STREAM_BYTES  VMEM-residency threshold in bytes for the winner
                      kernel's Havel rows; larger scenes stream via DMA.
+  RTNW_KEY_DIRBITS   direction-refinement bits in the coherence-sort key
+                     (default 2; ops/wavefront_sort.py).
+
+Test harness:
+  RTNW_TEST_TPU      1 keeps the real backend in pytest (tests/conftest.py
+                     pins CPU otherwise) so TPU-gated tests — e.g. the
+                     HBM-streaming DMA bit-identity check — actually run.
 
 Ablation/debug flags (some render a WRONG image and warn loudly):
   RTNW_NO_PRUNE        disable the per-leaf slab re-check + occlusion
